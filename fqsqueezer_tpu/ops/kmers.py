@@ -1,0 +1,94 @@
+"""k-mer packing, reverse complements, and hashes — integer-only, no int64.
+
+Equivalent of the reference's CKmer (/root/reference/fqs/kmer.h:18-540), which
+keeps a 2-bit-packed <=32-mer in a u64 with O(1) sliding updates. On TPU we
+avoid 64-bit integers entirely: wide keys are (lo, hi) uint32 pairs maintained
+as an exact 64-bit shift register, and windows are packed in one vectorized
+pass over the whole [reads, positions] batch instead of per-base updates.
+
+Strand handling: the reference canonicalizes by the k-mer "kernel" so one table
+entry serves both strands (kmer.h:199-207). We instead insert both the forward
+and reverse-complement (context, next-base) events — same statistics sharing,
+simpler batched queries (see DESIGN.md).
+
+Base codes: A=0 C=1 G=2 T=3 N=4. For k-mer purposes N is mapped to 0 by the
+caller (kcodes); complement is 3 - code.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def shift_right(arr: jax.Array, d: int) -> jax.Array:
+    """Shift along the last (position) axis so out[..., i] = arr[..., i-d];
+    left-pad with zeros."""
+    if d == 0:
+        return arr
+    pad = [(0, 0)] * (arr.ndim - 1) + [(d, 0)]
+    return jnp.pad(arr, pad)[..., : arr.shape[-1]]
+
+
+def pack_windows(kcodes: jax.Array, k: int):
+    """Pack the k-base window ending at each position (earliest base in the
+    most significant bits).
+
+    Args:
+      kcodes: [..., L] int32 base codes in {0..3}.
+    Returns:
+      (lo, hi): [..., L] uint32 pair; window at i covers positions i-k+1..i and
+      is only meaningful when i >= k-1 (earlier positions contain partial packs).
+    """
+    lo = jnp.zeros_like(kcodes, dtype=jnp.uint32)
+    hi = jnp.zeros_like(kcodes, dtype=jnp.uint32)
+    for d in range(k - 1, -1, -1):
+        b = shift_right(kcodes, d).astype(jnp.uint32)
+        hi = (hi << 2) | (lo >> 30)
+        lo = (lo << 2) | b
+    if k <= 16:
+        hi = jnp.zeros_like(hi)
+    return lo, hi
+
+
+def pack_windows_rc(kcodes: jax.Array, k: int):
+    """Reverse complement of the k-base window ending at each position.
+
+    rc(window i-k+1..i) = [3-b[i], 3-b[i-1], ..., 3-b[i-k+1]].
+    """
+    lo = jnp.zeros_like(kcodes, dtype=jnp.uint32)
+    hi = jnp.zeros_like(kcodes, dtype=jnp.uint32)
+    for d in range(k):
+        b = (3 - shift_right(kcodes, d)).astype(jnp.uint32)
+        hi = (hi << 2) | (lo >> 30)
+        lo = (lo << 2) | b
+    if k <= 16:
+        hi = jnp.zeros_like(hi)
+    return lo, hi
+
+
+# 32-bit mixing constants (from murmur3/xxhash finalizers — standard constants).
+_C1 = jnp.uint32(0x9E3779B1)
+_C2 = jnp.uint32(0x85EBCA77)
+_C3 = jnp.uint32(0xC2B2AE3D)
+_C4 = jnp.uint32(0x27D4EB2F)
+_C5 = jnp.uint32(0x165667B1)
+
+
+def hash_bucket(lo: jax.Array, hi: jax.Array, log2_buckets: int) -> jax.Array:
+    """Bucket index for a (lo, hi) key (analog of MurmurMix64 table hashing,
+    /root/reference/fqs/ht_kmer.h:115-130, built from 32-bit multiplies)."""
+    h = lo * _C1 ^ hi * _C2
+    h = h ^ (h >> 15)
+    h = h * _C3
+    h = h ^ (h >> 13)
+    return (h & jnp.uint32((1 << log2_buckets) - 1)).astype(jnp.int32)
+
+
+def hash_tag(lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """32-bit verification tag, independent of the bucket hash. The high bit is
+    forced so a tag is never 0 (= EMPTY sentinel)."""
+    t = lo * _C4 ^ hi * _C5
+    t = t ^ (t >> 16)
+    t = t * _C1
+    t = t ^ (t >> 11)
+    return t | jnp.uint32(0x80000000)

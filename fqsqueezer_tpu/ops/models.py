@@ -1,0 +1,72 @@
+"""Adaptive context-conditioned frequency models, frozen per batch.
+
+TPU-native replacement for the reference's CSimpleModel/CRangeCoderModel
+adaptive frequency tables (/root/reference/fqs/rc.h:20-514) and the
+CContextHM context->model hash map (context_hm.h:21-248). Instead of lazily
+allocated per-context model objects updated after every symbol, a model family
+is ONE dense int32[n_ctx, A] array:
+
+  * probabilities are read from a frozen snapshot for a whole batch (encoder
+    and decoder read the identical snapshot — the same argument that makes the
+    reference's barrier-synced staleness correct, application.cpp:622);
+  * after the batch, all (ctx, sym) occurrences are scatter-added at once
+    (order-independent integer adds), then rows are rescaled by deterministic
+    halving so the smoothed total stays <= 2^scale_bits, which guarantees every
+    quantized rANS frequency >= 1 (see DESIGN.md);
+  * quantization is exact integer math: cdf_j = floor(cum_j * 2^SB / total).
+
+ALPHA additive smoothing replaces the reference's model-cloning initialisation
+of child contexts (rc.h copy-construct, dna.cpp:2107-2197).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+ALPHA = 1          # additive smoothing per symbol
+RAW_CAP_BITS = 13  # raw row totals kept below 2^RAW_CAP_BITS via halving
+
+
+def model_create(n_ctx: int, n_sym: int) -> jax.Array:
+    return jnp.zeros((n_ctx, n_sym), dtype=jnp.int32)
+
+
+def model_cdf(freqs: jax.Array, ctx: jax.Array, scale_bits: int) -> jax.Array:
+    """Quantized cdf rows for a batch of contexts.
+
+    Args:
+      freqs: [M, A] int32 raw counts. ctx: [...] int32.
+    Returns:
+      cdf: [..., A+1] int32 with cdf[...,0]=0, cdf[...,A]=2^SB, every step >= 1.
+    """
+    rows = freqs[ctx] + ALPHA                      # [..., A]
+    cum = jnp.cumsum(rows, axis=-1)                # [..., A]
+    total = cum[..., -1:]
+    zeros = jnp.zeros_like(cum[..., :1])
+    cum = jnp.concatenate([zeros, cum], axis=-1)   # [..., A+1]
+    return ((cum << scale_bits) // total).astype(jnp.int32)
+
+
+def cdf_encode_lookup(cdf: jax.Array, sym: jax.Array):
+    """(freq, cum) of known symbols. cdf: [..., A+1], sym: [...] int32."""
+    lo = jnp.take_along_axis(cdf, sym[..., None], axis=-1)[..., 0]
+    hi = jnp.take_along_axis(cdf, sym[..., None] + 1, axis=-1)[..., 0]
+    return hi - lo, lo
+
+
+def model_update(freqs: jax.Array, ctx: jax.Array, sym: jax.Array,
+                 valid: jax.Array, inc: int = 8) -> jax.Array:
+    """Scatter-add `inc` per (ctx, sym) occurrence, then rescale rows whose
+    smoothed total would exceed 2^RAW_CAP_BITS (deterministic halving — the
+    analog of CSimpleModel::rescale, rc.h:28-39)."""
+    n_ctx, n_sym = freqs.shape
+    c = jnp.where(valid, ctx.reshape(-1), n_ctx)
+    s = sym.reshape(-1)
+    freqs = freqs.at[c, s].add(inc, mode="drop")
+
+    total = jnp.sum(freqs, axis=1) + n_sym * ALPHA
+    cap = 1 << RAW_CAP_BITS
+    # integer shift count: smallest k with total >> k <= cap (k in [0, 24])
+    ks = jnp.arange(24, dtype=jnp.int32)
+    nshift = jnp.sum(((total[:, None] >> ks[None, :]) > cap).astype(jnp.int32), axis=1)
+    return freqs >> nshift[:, None]

@@ -1,0 +1,145 @@
+"""Run parameters and mode enums.
+
+Behavioral parity with the reference CLI surface: modes and defaults follow
+/root/reference/fqs/params.h:16-78 and the genome-size -> k-mer-length tuning
+table params.h:131-155. The archive stores a serialized params blob so
+decompression needs no flags (params.h:80-129); our blob format is our own.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+from typing import List, Optional
+
+
+class WorkMode(enum.Enum):
+    COMPRESS = "compress"
+    DECOMPRESS = "decompress"
+
+
+class DnaMode(enum.Enum):
+    SE_ORIGINAL = "se_original"
+    SE_SORTED = "se_sorted"
+    PE_ORIGINAL = "pe_original"
+    PE_SORTED = "pe_sorted"
+
+
+class IdMode(enum.Enum):
+    LOSSLESS = "lossless"
+    INSTRUMENT = "instrument"
+    NONE = "none"
+
+
+class QualityMode(enum.Enum):
+    LOSSLESS = "lossless"
+    ILLUMINA_8 = "illumina_8"
+    ILLUMINA_4 = "illumina_4"
+    BINARY = "binary"
+    NONE = "none"
+
+
+# Genome size (Mbp) thresholds -> (prefix_len, pmer_len, smer_len, bmer_len).
+# Parity with /root/reference/fqs/params.h:131-155 (imer column dropped: it is
+# vestigial in the reference — stored but never used, see SURVEY.md §2).
+_KMER_TUNING = (
+    (1, 9, 14, 17, 19),
+    (4, 9, 15, 18, 20),
+    (16, 10, 15, 18, 21),
+    (64, 11, 16, 18, 23),
+    (256, 12, 17, 20, 24),
+    (1024, 12, 17, 21, 26),
+    (4096, 13, 18, 21, 27),
+    (16384, 14, 18, 22, 27),
+    (65536, 15, 18, 22, 27),
+)
+
+# Dense SIV memory cap: the SIV is a dense uint8[4^siv_len] per-next-base
+# counter array, so siv_len is capped independently of pmer_len (the reference
+# packs 2-bit counters instead, bit_vec.h:29-40).
+_SIV_LEN_CAP = 13
+
+
+@dataclasses.dataclass
+class Params:
+    work_mode: WorkMode = WorkMode.COMPRESS
+    file_names: List[str] = dataclasses.field(default_factory=list)
+    tmp_path: str = "./fqs_tmp_"
+    out_path: str = "output.fqst"
+    out_path2: str = "output2.fqst"
+
+    no_threads: int = 1  # maps to device/lane hint, kept for CLI parity
+    genome_size: int = 3100  # Mbp, like reference -gs
+
+    dna_mode: DnaMode = DnaMode.SE_SORTED
+    id_mode: IdMode = IdMode.INSTRUMENT
+    quality_mode: QualityMode = QualityMode.ILLUMINA_8
+    quality_thr: int = 20
+    duplicates_check: bool = True
+    verbosity: int = 1
+
+    # k-mer geometry (auto-tuned from genome_size unless set explicitly)
+    prefix_len: int = 14
+    pmer_len: int = 13
+    smer_len: int = 15
+    bmer_len: int = 26
+
+    # TPU execution geometry
+    n_lanes: int = 1024            # interleaved rANS lanes per batch
+    max_batch_reads: int = 32768   # reads per device step (sync interval)
+    scale_bits: int = 14           # rANS probability resolution
+
+    # table capacities (log2 of bucket counts); presized like the reference
+    # presizes from -gs (params.h:131-155) instead of growing mid-stream
+    smer_log2_buckets: int = 20
+    bmer_log2_buckets: int = 20
+    pe_log2_buckets: int = 18
+
+    def adjust_kmer_sizes(self) -> None:
+        """Auto-pick k-mer lengths from genome size (parity: params.h:131-155)."""
+        for thr, prefix, pmer, smer, bmer in _KMER_TUNING:
+            if self.genome_size <= thr:
+                self.prefix_len = prefix
+                self.pmer_len = pmer
+                self.smer_len = smer
+                self.bmer_len = bmer
+                break
+        # scale hash tables with genome size: ~2 cells per genome base
+        import math
+
+        gbases = self.genome_size * 1_000_000
+        want = max(16, min(26, int(math.ceil(math.log2(max(1, gbases) / 4)))))
+        self.smer_log2_buckets = want
+        self.bmer_log2_buckets = want
+        self.pe_log2_buckets = max(14, want - 2)
+
+    @property
+    def siv_len(self) -> int:
+        return min(self.pmer_len, _SIV_LEN_CAP)
+
+    # --- archive header (self-describing, like reference store_params) ---
+    _HDR_KEYS = (
+        "dna_mode", "id_mode", "quality_mode", "quality_thr",
+        "duplicates_check", "prefix_len", "pmer_len", "smer_len", "bmer_len",
+        "n_lanes", "max_batch_reads", "scale_bits",
+        "smer_log2_buckets", "bmer_log2_buckets", "pe_log2_buckets",
+    )
+
+    def store_params(self) -> bytes:
+        d = {}
+        for k in self._HDR_KEYS:
+            v = getattr(self, k)
+            d[k] = v.value if isinstance(v, enum.Enum) else v
+        return json.dumps(d, sort_keys=True).encode()
+
+    @classmethod
+    def load_params(cls, blob: bytes, base: Optional["Params"] = None) -> "Params":
+        d = json.loads(blob.decode())
+        p = dataclasses.replace(base) if base else cls()
+        for k in cls._HDR_KEYS:
+            v = d[k]
+            cur = getattr(p, k)
+            if isinstance(cur, enum.Enum):
+                v = type(cur)(v)
+            setattr(p, k, v)
+        return p
