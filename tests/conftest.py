@@ -2,9 +2,26 @@ import os
 
 # Tests run on CPU with 8 virtual devices so multi-chip sharding logic is
 # exercised without TPU hardware (the driver separately dry-runs multichip).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The container's sitecustomize registers the axon TPU PJRT plugin in every
+# interpreter; its backend init dials the TPU tunnel and can block for minutes
+# (and claims the single chip). Tests must never touch it — drop the factory
+# before the first backend initialization.
+try:
+    import jax
+    from jax._src import xla_bridge
+
+    # sitecustomize imported jax before this conftest ran, so the env var
+    # alone is not enough — update the live config too.
+    jax.config.update("jax_platforms", "cpu")
+    for _name in list(getattr(xla_bridge, "_backend_factories", {})):
+        if _name != "cpu":
+            xla_bridge._backend_factories.pop(_name, None)
+except Exception:
+    pass

@@ -1,0 +1,119 @@
+"""Unit tests: k-mer packing, SIV, and the bucketed count table."""
+import numpy as np
+import jax.numpy as jnp
+
+from fqsqueezer_tpu.ops import kmers, tables
+
+
+def _np_pack(seq):
+    v = 0
+    for b in seq:
+        v = (v << 2) | int(b)
+    return v
+
+
+def test_pack_windows_matches_naive():
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, size=(3, 40)).astype(np.int32)
+    for k in (5, 13, 16, 17, 27):
+        lo, hi = kmers.pack_windows(jnp.asarray(codes), k)
+        lo, hi = np.asarray(lo), np.asarray(hi)
+        for r in range(3):
+            for i in range(k - 1, 40):
+                want = _np_pack(codes[r, i - k + 1 : i + 1])
+                got = (int(hi[r, i]) << 32) | int(lo[r, i])
+                assert got == want, (k, r, i)
+
+
+def test_pack_windows_rc_matches_naive():
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 4, size=(2, 30)).astype(np.int32)
+    for k in (4, 14, 21):
+        lo, hi = kmers.pack_windows_rc(jnp.asarray(codes), k)
+        lo, hi = np.asarray(lo), np.asarray(hi)
+        for r in range(2):
+            for i in range(k - 1, 30):
+                win = codes[r, i - k + 1 : i + 1]
+                rc = [3 - int(b) for b in win[::-1]]
+                want = _np_pack(rc)
+                got = (int(hi[r, i]) << 32) | int(lo[r, i])
+                assert got == want, (k, r, i)
+
+
+def test_siv_update_and_find():
+    siv = tables.siv_create(5)  # contexts are 4-mers
+    keys = jnp.asarray([0b0011_10_01, 0b0011_10_01, 0b0011_10_11, 17], jnp.int32)
+    valid = jnp.asarray([True, True, True, False])
+    siv = tables.siv_update(siv, keys, valid)
+    ctx = jnp.asarray([0b0011_10, 17 >> 2], jnp.int32)
+    counts = np.asarray(tables.siv_find(siv, ctx))
+    np.testing.assert_array_equal(counts[0], [0, 2, 0, 1])  # base1 twice, base3 once
+    np.testing.assert_array_equal(counts[1], [0, 0, 0, 0])  # invalid not applied
+
+
+def test_siv_saturates_at_255():
+    siv = tables.siv_create(3)
+    keys = jnp.zeros((300,), jnp.int32)  # ctx 0, base 0, 300 times
+    valid = jnp.ones((300,), bool)
+    siv = tables.siv_update(siv, keys, valid)
+    counts = np.asarray(tables.siv_find(siv, jnp.asarray([0], jnp.int32)))
+    assert counts[0, 0] == 255
+
+
+def test_count_table_insert_find_roundtrip():
+    rng = np.random.default_rng(2)
+    tags, cnts = tables.table_create(8)  # 256 buckets
+    n = 500
+    lo = rng.integers(0, 1 << 16, size=n).astype(np.uint32)
+    hi = np.zeros(n, np.uint32)
+    base = rng.integers(0, 4, size=n).astype(np.int32)
+    valid = rng.random(n) < 0.9
+
+    tags, cnts = tables.table_update(
+        tags, cnts, jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(base), jnp.asarray(valid))
+
+    # python-dict truth
+    truth = {}
+    for i in range(n):
+        if valid[i]:
+            truth.setdefault(int(lo[i]), [0, 0, 0, 0])[base[i]] += 1
+
+    keys = np.array(sorted(truth), np.uint32)
+    got, found = tables.table_find(tags, cnts, jnp.asarray(keys), jnp.zeros_like(jnp.asarray(keys)))
+    got, found = np.asarray(got), np.asarray(found)
+    n_found = found.sum()
+    assert n_found >= 0.99 * len(keys)  # rare drops allowed (full buckets)
+    for j, k in enumerate(keys):
+        if found[j]:
+            np.testing.assert_array_equal(got[j], truth[int(k)])
+
+
+def test_count_table_absent_key():
+    tags, cnts = tables.table_create(6)
+    got, found = tables.table_find(
+        tags, cnts, jnp.asarray([123456], jnp.uint32), jnp.asarray([7], jnp.uint32))
+    assert not bool(found[0])
+    np.testing.assert_array_equal(np.asarray(got)[0], [0, 0, 0, 0])
+
+
+def test_count_table_update_is_deterministic_across_orderings():
+    rng = np.random.default_rng(3)
+    n = 200
+    lo = rng.integers(0, 64, size=n).astype(np.uint32)  # heavy collisions
+    hi = np.zeros(n, np.uint32)
+    base = rng.integers(0, 4, size=n).astype(np.int32)
+    valid = np.ones(n, bool)
+
+    perm = rng.permutation(n)
+    t1 = tables.table_create(4)
+    t1 = tables.table_update(*t1, jnp.asarray(lo), jnp.asarray(hi),
+                             jnp.asarray(base), jnp.asarray(valid))
+    t2 = tables.table_create(4)
+    t2 = tables.table_update(*t2, jnp.asarray(lo[perm]), jnp.asarray(hi[perm]),
+                             jnp.asarray(base[perm]), jnp.asarray(valid))
+    # same multiset of events -> identical counts for every key
+    keys = np.unique(lo)
+    g1, f1 = tables.table_find(*t1, jnp.asarray(keys), jnp.zeros(len(keys), jnp.uint32))
+    g2, f2 = tables.table_find(*t2, jnp.asarray(keys), jnp.zeros(len(keys), jnp.uint32))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
