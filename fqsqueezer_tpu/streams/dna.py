@@ -1,0 +1,384 @@
+"""DNA stream codec: k-mer-statistics modeling + interleaved rANS.
+
+TPU-native re-derivation of the reference CDNACompressor
+(/root/reference/fqs/dna.cpp) — see DESIGN.md. The method is the same:
+per-base next-symbol counts are gathered from a cascade of k-mer counter
+stores (b-mer hash table -> +s-mer when ambiguous -> s-mer -> p-mer SIV,
+reference find_counts dna.cpp:457-502), the actual base is coded as its RANK
+among count-sorted candidates (dna.cpp:177-207), the rank probability comes
+from an adaptive model conditioned on quantized sorted counts + cascade level
++ position + rank history (code_ctx.cpp:242-324), and a literal "letters"
+model covers the read prefix and positions with no counts (code_ctx.cpp:465-484).
+
+The execution model is inverted for TPU:
+  * ENCODE: with batch-frozen tables, every position's context and (freq, cum)
+    is computed in ONE fully-vectorized pass over the [reads, positions] batch
+    (gathers + integer VPU ops, no sequential dependence); bit emission is a
+    cheap reverse scan over lane states.
+  * DECODE: a forward `lax.scan` over (read-in-lane, position) steps, wide over
+    N lanes; rolling k-mer context registers are carried as uint32 shift
+    registers (the reference's CKmer sliding update, kmer.h, becomes a lane
+    vector op).
+  * TABLE/MODEL UPDATES: one shared `collect_updates` routine is applied to the
+    plaintext (encoder) or decoded (decoder) batch, so both sides evolve
+    identical statistics — the TPU analog of the reference's deterministic
+    barrier-synced deferred inserts (application.cpp:643-655, dna.cpp:2393).
+
+Symbols: A,C,G,T,N = 0..4. N maps to A (0) inside k-mer keys (kcodes) but is
+coded as rank/letters symbol 4.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import kmers, models, rans, tables
+from . import common
+
+A_SYM = 5                 # alphabet: 4 ranks/bases + N
+CODE_CTX_BITS = 20
+LET_CTX_BITS = 19
+N_MODEL_CTX = (1 << CODE_CTX_BITS) + (1 << LET_CTX_BITS)
+LET_SENTINEL = 5          # "before start of read" letter history filler
+LH_MASK = (1 << 15) - 1
+LH_RESET = 0b101_101_101_101_101  # five sentinel-5 slots
+
+# count quantization thresholds (coarse analog of convert_lev_* quantizers,
+# code_ctx.cpp:26-239)
+_Q0 = (1, 2, 3, 4, 5, 6, 8, 10, 13, 16, 24, 32, 48, 64, 128)   # 4 bits
+_Q1 = (1, 2, 3, 4, 6, 8, 16)                                     # 3 bits
+_Q23 = (1, 2, 4)                                                 # 2 bits
+
+LEVEL_NONE, LEVEL_PMER, LEVEL_SMER, LEVEL_MIXED, LEVEL_BMER = 0, 1, 2, 3, 4
+
+
+@dataclasses.dataclass(frozen=True)
+class DnaConfig:
+    siv_len: int = 13
+    smer_len: int = 15
+    bmer_len: int = 26
+    prefix_len: int = 14
+    scale_bits: int = 14
+    n_lanes: int = 1024
+    smer_log2_buckets: int = 20
+    bmer_log2_buckets: int = 20
+
+
+class DnaState(NamedTuple):
+    siv: jax.Array
+    s_tags: jax.Array
+    s_cnts: jax.Array
+    b_tags: jax.Array
+    b_cnts: jax.Array
+    model: jax.Array  # [N_MODEL_CTX, A_SYM]
+
+
+def dna_state_create(cfg: DnaConfig) -> DnaState:
+    s_tags, s_cnts = tables.table_create(cfg.smer_log2_buckets)
+    b_tags, b_cnts = tables.table_create(cfg.bmer_log2_buckets)
+    return DnaState(
+        siv=tables.siv_create(cfg.siv_len),
+        s_tags=s_tags, s_cnts=s_cnts, b_tags=b_tags, b_cnts=b_cnts,
+        model=models.model_create(N_MODEL_CTX, A_SYM),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared modeling math (shape-agnostic: works on [R, L] or [N])
+# ---------------------------------------------------------------------------
+
+def _quant(v, thresholds):
+    q = jnp.zeros_like(v)
+    for t in thresholds:
+        q = q + (v >= t).astype(v.dtype)
+    return q
+
+
+def _pos_bucket(i, length):
+    """4-bit position bucket: exact-ish early, /16 mid, end-of-read flagged
+    (analog of the reference position context, code_ctx.cpp:281-287)."""
+    rem = length - i
+    mid = jnp.minimum(6 + (i - 24) // 16, 13)
+    early = i // 4
+    pb = jnp.where(i < 24, early, mid)
+    pb = jnp.where(rem <= 4, 14, pb)
+    pb = jnp.where(rem <= 2, 15, pb)
+    return pb
+
+
+def _lookup_counts(state: DnaState, pm_ctx, s_lo, s_hi, b_lo, b_hi, vp, vs, vb):
+    """Count cascade (reference find_counts, dna.cpp:457-502).
+    Returns (counts [..., 4] int32, level [...] int32)."""
+    cp = tables.siv_find(state.siv, pm_ctx)
+    cs, fs = tables.table_find(state.s_tags, state.s_cnts, s_lo, s_hi)
+    cb, fb = tables.table_find(state.b_tags, state.b_cnts, b_lo, b_hi)
+    fp = vp & (jnp.sum(cp, axis=-1) > 0)
+    fs = fs & vs
+    fb = fb & vb
+
+    nzb = jnp.sum((cb > 0).astype(jnp.int32), axis=-1)
+    mixed = fb & (nzb > 1)
+
+    counts = jnp.where(
+        fb[..., None], cb + jnp.where(mixed[..., None], cs, 0),
+        jnp.where(fs[..., None], cs, jnp.where(fp[..., None], cp, 0)))
+    level = jnp.where(
+        fb, jnp.where(mixed, LEVEL_MIXED, LEVEL_BMER),
+        jnp.where(fs, LEVEL_SMER, jnp.where(fp, LEVEL_PMER, LEVEL_NONE)))
+    return counts, level
+
+
+def _rank_all(counts):
+    """[..., 4] rank of each base under (count desc, base asc) ordering
+    (deterministic analog of sort_copy_stats + rank, utils.cpp:109-126,
+    dna.cpp:177-207)."""
+    c = counts
+    gt = (c[..., None, :] > c[..., :, None]).astype(jnp.int32)  # [b, b'] c[b']>c[b]
+    eq = (c[..., None, :] == c[..., :, None]).astype(jnp.int32)
+    lower = jnp.tril(jnp.ones((4, 4), jnp.int32), k=-1)  # b' < b
+    return jnp.sum(gt + eq * lower, axis=-1)
+
+
+def _rank_of(counts, sym):
+    """Rank of symbol (N -> 4)."""
+    ranks = _rank_all(counts)
+    r = jnp.take_along_axis(ranks, jnp.minimum(sym, 3)[..., None], axis=-1)[..., 0]
+    return jnp.where(sym >= 4, 4, r)
+
+
+def _base_of_rank(counts, r):
+    """Inverse of _rank_of (rank 4 -> N)."""
+    ranks = _rank_all(counts)
+    base = jnp.sum(jnp.arange(4) * (ranks == r[..., None]).astype(jnp.int32), axis=-1)
+    return jnp.where(r >= 4, 4, base)
+
+
+def _code_ctx(level, counts, pb, nz_hist):
+    """Pack the 20-bit count-conditioned context (analog of
+    determine_ctx_codes bit-fields, code_ctx.cpp:257-324, single level — the
+    reference's 7-level hierarchy is replaced by direct indexing + smoothing)."""
+    cs = jnp.sort(counts, axis=-1)[..., ::-1]
+    ctx = (level - 1).astype(jnp.int32)
+    ctx = ctx | (_quant(cs[..., 0], _Q0) << 2)
+    ctx = ctx | (_quant(cs[..., 1], _Q1) << 6)
+    ctx = ctx | (_quant(cs[..., 2], _Q23) << 9)
+    ctx = ctx | (_quant(cs[..., 3], _Q23) << 11)
+    ctx = ctx | (pb << 13)
+    ctx = ctx | (jnp.minimum(nz_hist, 4) << 17)
+    return ctx
+
+
+def _popcount4(v):
+    return (v & 1) + ((v >> 1) & 1) + ((v >> 2) & 1) + ((v >> 3) & 1)
+
+
+# ---------------------------------------------------------------------------
+# encoder: fully-parallel modeling over the batch
+# ---------------------------------------------------------------------------
+
+def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths):
+    """Compute per-position (ctx, coded symbol, freq, cum) for a whole batch.
+
+    codes/kcodes: [R, L] int32; lengths: [R] int32.
+    Returns (ctx_all, sym_enc, freq, cum, active): all [R, L].
+    """
+    R, L = codes.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    lens = lengths[:, None]
+    active = pos < lens
+
+    pm = kmers.shift_right(kmers.pack_windows(kcodes, cfg.siv_len - 1)[0], 1)
+    s_lo, s_hi = kmers.pack_windows(kcodes, cfg.smer_len - 1)
+    s_lo, s_hi = kmers.shift_right(s_lo, 1), kmers.shift_right(s_hi, 1)
+    b_lo, b_hi = kmers.pack_windows(kcodes, cfg.bmer_len - 1)
+    b_lo, b_hi = kmers.shift_right(b_lo, 1), kmers.shift_right(b_hi, 1)
+
+    vp = pos >= cfg.siv_len - 1
+    vs = pos >= cfg.smer_len - 1
+    vb = pos >= cfg.bmer_len - 1
+    counts, level = _lookup_counts(
+        state, (pm & jnp.uint32(4 ** (cfg.siv_len - 1) - 1)).astype(jnp.int32),
+        s_lo, s_hi, b_lo, b_hi, vp, vs, vb)
+
+    ranks = _rank_of(counts, codes)
+    use_code = (pos >= cfg.prefix_len) & (level > LEVEL_NONE)
+
+    rbit = (use_code & (ranks > 0)).astype(jnp.int32)
+    nz_hist = sum(kmers.shift_right(rbit, d) for d in (1, 2, 3, 4))
+
+    pb = _pos_bucket(pos, lens)
+    code_ctx = _code_ctx(level, counts, pb, nz_hist)
+
+    lh = jnp.zeros_like(codes)
+    for d in (5, 4, 3, 2, 1):
+        sym_d = jnp.where(pos - d >= 0, kmers.shift_right(codes, d), LET_SENTINEL)
+        lh = (lh << 3) | sym_d
+    let_ctx = lh | (pb << 15)
+
+    ctx_all = jnp.where(use_code, code_ctx, (1 << CODE_CTX_BITS) + let_ctx)
+    sym_enc = jnp.where(use_code, ranks, codes)
+
+    cdf = models.model_cdf(state.model, ctx_all, cfg.scale_bits)
+    f, c = models.cdf_encode_lookup(cdf, sym_enc)
+    f = jnp.where(active, f, 1 << cfg.scale_bits)
+    c = jnp.where(active, c, 0)
+    return ctx_all, sym_enc, f, c, active
+
+
+# ---------------------------------------------------------------------------
+# shared state evolution
+# ---------------------------------------------------------------------------
+
+def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
+                        ctx_all, sym_enc, active) -> DnaState:
+    """Apply one batch's k-mer/model statistics (both strands; reference
+    queues inserts per owner shard, dna.cpp:810-852, and SIV inserts both
+    strands, bit_vec semantics)."""
+    R, L = codes.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+    model = models.model_update(
+        state.model, ctx_all.reshape(-1), sym_enc.reshape(-1), active.reshape(-1))
+
+    # SIV: packed siv_len windows are exactly (ctx<<2 | next_base) cell indices
+    siv_f = kmers.pack_windows(kcodes, cfg.siv_len)[0].astype(jnp.int32)
+    siv_r = kmers.pack_windows_rc(kcodes, cfg.siv_len)[0].astype(jnp.int32)
+    v_siv = (pos >= cfg.siv_len - 1) & active
+    siv = tables.siv_update(
+        state.siv,
+        jnp.concatenate([siv_f.reshape(-1), siv_r.reshape(-1)]),
+        jnp.concatenate([v_siv.reshape(-1), v_siv.reshape(-1)]))
+
+    def upd(tags, cnts, k, log2b):
+        ctx_lo, ctx_hi = kmers.pack_windows(kcodes, k - 1)
+        ctx_lo = kmers.shift_right(ctx_lo, 1)
+        ctx_hi = kmers.shift_right(ctx_hi, 1)
+        rc_lo, rc_hi = kmers.pack_windows_rc(kcodes, k - 1)
+        rc_base = 3 - kmers.shift_right(kcodes, k - 1)
+        vk = (pos >= k - 1) & active
+        lo = jnp.concatenate([ctx_lo.reshape(-1), rc_lo.reshape(-1)])
+        hi = jnp.concatenate([ctx_hi.reshape(-1), rc_hi.reshape(-1)])
+        base = jnp.concatenate([kcodes.reshape(-1), rc_base.reshape(-1)])
+        valid = jnp.concatenate([vk.reshape(-1), vk.reshape(-1)])
+        return tables.table_update(tags, cnts, lo, hi, base, valid)
+
+    s_tags, s_cnts = upd(state.s_tags, state.s_cnts, cfg.smer_len, cfg.smer_log2_buckets)
+    b_tags, b_cnts = upd(state.b_tags, state.b_cnts, cfg.bmer_len, cfg.bmer_log2_buckets)
+
+    return DnaState(siv=siv, s_tags=s_tags, s_cnts=s_cnts,
+                    b_tags=b_tags, b_cnts=b_cnts, model=model)
+
+
+def dna_apply_batch(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths) -> DnaState:
+    """Recompute contexts for a (decoded) batch and evolve the state —
+    identical math to the encoder's pass, guaranteeing convergence."""
+    ctx_all, sym_enc, _, _, active = dna_modeling(cfg, state, codes, kcodes, lengths)
+    return dna_collect_updates(cfg, state, codes, kcodes, lengths, ctx_all, sym_enc, active)
+
+
+# ---------------------------------------------------------------------------
+# batch encode / decode
+# ---------------------------------------------------------------------------
+
+def dna_encode_batch(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths):
+    """Returns (words, n_words, init_decoder_states, new_state)."""
+    ctx_all, sym_enc, f, c, active = dna_modeling(cfg, state, codes, kcodes, lengths)
+    fg = common.to_grid(f, cfg.n_lanes)
+    cg = common.to_grid(c, cfg.n_lanes)
+    words, n_words, states = rans.rans_encode(fg, cg, cfg.scale_bits)
+    new_state = dna_collect_updates(cfg, state, codes, kcodes, lengths,
+                                    ctx_all, sym_enc, active)
+    return words, n_words, states, new_state
+
+
+def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_states,
+                     L: int):
+    """Decode a batch. lengths: [R] int32 (R multiple of n_lanes), words:
+    [W] uint32 stream, init_states: [N] uint32 (encoder's final states).
+
+    Returns (codes [R, L] int32, new_state, final_states, n_words_consumed).
+    """
+    N = cfg.n_lanes
+    R = lengths.shape[0]
+    r_pl = R // N
+    lengths_grid = common.to_read_grid(lengths, N)  # [N, r_pl]
+    T = r_pl * L
+    sb = cfg.scale_bits
+
+    pm_mask = jnp.uint32(4 ** (cfg.siv_len - 1) - 1)
+    s_w = cfg.smer_len - 1
+    b_w = cfg.bmer_len - 1
+
+    def key_mask(width_bases):
+        bits = 2 * width_bases
+        lo = jnp.uint32(0xFFFFFFFF if bits >= 32 else (1 << bits) - 1)
+        hi = jnp.uint32(0 if bits <= 32 else (1 << (bits - 32)) - 1)
+        return lo, hi
+
+    s_mlo, s_mhi = key_mask(s_w)
+    b_mlo, b_mhi = key_mask(b_w)
+
+    def step(carry, t):
+        x, ptr, pkey, slo, shi, blo, bhi, lh, rh = carry
+        rd = t // L
+        i = t % L
+        length = jax.lax.dynamic_index_in_dim(lengths_grid, rd, axis=1, keepdims=False)
+        active = i < length
+
+        at_start = i == 0
+        lh = jnp.where(at_start, LH_RESET, lh)
+        rh = jnp.where(at_start, 0, rh)
+
+        vp = (i >= cfg.siv_len - 1) & active
+        vs = (i >= s_w) & active
+        vb = (i >= b_w) & active
+        counts, level = _lookup_counts(
+            state, (pkey & pm_mask).astype(jnp.int32),
+            slo & s_mlo, shi & s_mhi, blo & b_mlo, bhi & b_mhi,
+            jnp.broadcast_to(vp, x.shape), jnp.broadcast_to(vs, x.shape),
+            jnp.broadcast_to(vb, x.shape))
+
+        use_code = (i >= cfg.prefix_len) & (level > LEVEL_NONE)
+        pb = _pos_bucket(jnp.full_like(level, i), jnp.broadcast_to(length, level.shape))
+        nz = _popcount4(rh)
+        code_ctx = _code_ctx(level, counts, pb, nz)
+        let_ctx = (lh & LH_MASK) | (pb << 15)
+        ctx_all = jnp.where(use_code, code_ctx, (1 << CODE_CTX_BITS) + let_ctx)
+
+        cdf = models.model_cdf(state.model, ctx_all, sb)
+        slot = rans.rans_decode_slots(x, sb)
+        sym, f, c = rans.cdf_lookup(cdf, slot)
+        f = jnp.where(active, f, 1 << sb)
+        c = jnp.where(active, c, 0)
+        x, ptr = rans.rans_decode_advance(x, ptr, words, f, c, sb)
+
+        base = jnp.where(use_code, _base_of_rank(counts, sym), sym)
+        base = jnp.where(active, base, 0)
+        kc = jnp.where(base >= 4, 0, base).astype(jnp.uint32)
+
+        pkey = ((pkey << 2) | kc) & pm_mask
+        shi = ((shi << 2) | (slo >> 30)) & s_mhi
+        slo = ((slo << 2) | kc) & s_mlo
+        bhi = ((bhi << 2) | (blo >> 30)) & b_mhi
+        blo = ((blo << 2) | kc) & b_mlo
+        lh = ((lh << 3) | base) & LH_MASK
+        rbit = (use_code & (sym > 0) & active).astype(jnp.int32)
+        rh = ((rh << 1) | rbit) & 0xF
+
+        return (x, ptr, pkey, slo, shi, blo, bhi, lh, rh), base
+
+    zeros_u = jnp.zeros((N,), jnp.uint32)
+    zeros_i = jnp.zeros((N,), jnp.int32)
+    carry0 = (init_states, jnp.int32(0), zeros_u, zeros_u, zeros_u,
+              zeros_u, zeros_u, zeros_i, zeros_i)
+    carry, ys = jax.lax.scan(step, carry0, jnp.arange(T, dtype=jnp.int32))
+    x, ptr = carry[0], carry[1]
+
+    codes = common.from_grid(ys, N, L)
+    kcodes = jnp.where(codes >= 4, 0, codes)
+    new_state = dna_apply_batch(cfg, state, codes, kcodes, lengths)
+    return codes, new_state, x, ptr
