@@ -1,0 +1,162 @@
+"""Host-side FASTQ parsing and reconstruction — fully vectorized numpy.
+
+Equivalent of the reference's FASTQ readers/writers
+(/root/reference/fqs/io.h:373-678, reads_block.h:35-76) redesigned for batch
+execution: instead of a byte-wise per-read parser feeding a 16 MiB block, the
+whole input is scanned once with vectorized newline finding and gathered into
+padded [R, L] integer matrices the device consumes directly.
+
+Symbols: A,C,G,T,N -> 0..4; any other sequence byte maps to N (the reference
+likewise warns about "strange" symbols and degrades, application.cpp:332-341).
+Qualities are stored as (byte - 33), clipped to [0, 95] like the reference's
+96-symbol alphabet (quality.cpp:164).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+# base byte -> code (A=0 C=1 G=2 T=3, everything else = N = 4)
+BASE_LUT = np.full(256, 4, dtype=np.uint8)
+for _i, _b in enumerate(b"ACGT"):
+    BASE_LUT[_b] = _i
+    BASE_LUT[ord(chr(_b).lower())] = _i
+CODE_TO_BASE = np.frombuffer(b"ACGTN", dtype=np.uint8).copy()
+
+
+@dataclasses.dataclass
+class FastqData:
+    """A parsed FASTQ file as padded matrices.
+
+    codes: [R, L] uint8 base codes (0..4), zero beyond lengths.
+    quals: [R, L] uint8 quality values (phred, 0..95), zero beyond lengths.
+    lengths: [R] int32.
+    ids: raw header bytes (without '@' or newline), list of bytes objects.
+    """
+
+    codes: np.ndarray
+    quals: np.ndarray
+    lengths: np.ndarray
+    ids: list
+
+    @property
+    def n_reads(self) -> int:
+        return int(self.lengths.shape[0])
+
+    @property
+    def max_len(self) -> int:
+        return int(self.codes.shape[1])
+
+
+def parse_fastq_bytes(data: np.ndarray) -> FastqData:
+    """Parse a uint8 array of FASTQ bytes (4 lines per record)."""
+    if data.size and data[-1] != 10:
+        data = np.concatenate([data, np.array([10], np.uint8)])
+    nl = np.flatnonzero(data == 10)
+    n_lines = nl.size - (nl.size % 4)
+    if n_lines == 0:
+        return FastqData(np.zeros((0, 0), np.uint8), np.zeros((0, 0), np.uint8),
+                         np.zeros((0,), np.int32), [])
+    nl = nl[:n_lines]
+    starts = np.empty(n_lines, np.int64)
+    starts[0] = 0
+    starts[1:] = nl[:-1] + 1
+    ends = nl.copy()
+    # tolerate \r\n
+    crlf = ends > starts
+    crlf[crlf] = data[ends[crlf] - 1] == 13
+    ends[crlf] -= 1
+
+    R = n_lines // 4
+    seq_s, seq_e = starts[1::4], ends[1::4]
+    qual_s, qual_e = starts[3::4], ends[3::4]
+    hdr_s, hdr_e = starts[0::4], ends[0::4]
+    lengths = (seq_e - seq_s).astype(np.int32)
+    L = int(lengths.max()) if R else 0
+
+    pos = np.arange(L, dtype=np.int64)[None, :]
+    valid = pos < lengths[:, None]
+    seq_idx = np.minimum(seq_s[:, None] + pos, data.size - 1)
+    codes = np.where(valid, BASE_LUT[data[seq_idx]], 0).astype(np.uint8)
+    qual_idx = np.minimum(qual_s[:, None] + pos, data.size - 1)
+    quals = np.where(valid, data[qual_idx], 33).astype(np.int16) - 33
+    quals = np.clip(quals, 0, 95).astype(np.uint8)
+
+    dview = data.tobytes()
+    ids = [dview[int(s) + 1:int(e)] if e > s else b"" for s, e in zip(hdr_s, hdr_e)]
+    return FastqData(codes=codes, quals=quals, lengths=lengths, ids=ids)
+
+
+def read_fastq(path: str) -> FastqData:
+    return parse_fastq_bytes(np.fromfile(path, dtype=np.uint8))
+
+
+def write_fastq(path: str, codes: np.ndarray, quals: np.ndarray,
+                lengths: np.ndarray, ids: list | None) -> None:
+    """Reconstruct a FASTQ file. ids=None emits bare '@' lines (the reference's
+    id-none reconstruction, id.cpp:486-492)."""
+    R, L = codes.shape
+    if ids is None:
+        id_arrs = [b""] * R
+    else:
+        id_arrs = ids
+    id_lens = np.fromiter((len(s) for s in id_arrs), np.int64, count=R) if R else np.zeros(0, np.int64)
+    lens64 = lengths.astype(np.int64)
+    # per-record size: '@'+id+'\n' + seq+'\n' + '+\n' + qual+'\n'
+    rec = 1 + id_lens + 1 + lens64 + 1 + 2 + lens64 + 1
+    offs = np.zeros(R + 1, np.int64)
+    np.cumsum(rec, out=offs[1:])
+    out = np.empty(int(offs[-1]), np.uint8)
+
+    pos = np.arange(L, dtype=np.int64)[None, :]
+    valid = pos < lens64[:, None]
+
+    out[offs[:-1]] = ord("@")
+    id_dst = offs[:-1] + 1
+    flat_ids = b"".join(id_arrs)
+    if flat_ids:
+        id_src = np.frombuffer(flat_ids, np.uint8)
+        id_off = np.zeros(R + 1, np.int64)
+        np.cumsum(id_lens, out=id_off[1:])
+        max_il = int(id_lens.max())
+        ipos = np.arange(max_il, dtype=np.int64)[None, :]
+        ivalid = ipos < id_lens[:, None]
+        dst = (id_dst[:, None] + ipos)[ivalid]
+        src = (id_off[:-1][:, None] + ipos)[ivalid]
+        out[dst] = id_src[src]
+    out[id_dst + id_lens] = 10
+
+    seq_dst = id_dst + id_lens + 1
+    dst = (seq_dst[:, None] + pos)[valid]
+    out[dst] = CODE_TO_BASE[codes[valid]]
+    out[seq_dst + lens64] = 10
+    plus = seq_dst + lens64 + 1
+    out[plus] = ord("+")
+    out[plus + 1] = 10
+    qual_dst = plus + 2
+    dst = (qual_dst[:, None] + pos)[valid]
+    out[dst] = quals[valid].astype(np.uint8) + 33
+    out[qual_dst + lens64] = 10
+
+    out.tofile(path)
+
+
+def sort_order(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Lexicographic read ordering for sorted mode: sequence bytes with N
+    collated as T, then length, then exact bytes (reference CSortedFASTQFile
+    sort, io.h:499-528). Returns the permutation."""
+    R, L = codes.shape
+    if R == 0:
+        return np.zeros(0, np.int64)
+    collated = np.where(codes == 4, 3, codes).astype(np.uint8)
+    pos = np.arange(L)[None, :]
+    valid = pos < lengths[:, None]
+    # pad with 0 (< any real code + 1) so a read that is a strict prefix of
+    # another sorts first, matching std::lexicographical_compare semantics
+    key = np.where(valid, collated + 1, 0).astype(np.uint8)
+    exact = np.where(valid, codes, 0).astype(np.uint8)
+    # np.lexsort: last key is primary -> order keys [exact L-1..0, key L-1..0]
+    return np.lexsort(tuple(
+        [exact[:, i] for i in range(L - 1, -1, -1)]
+        + [key[:, i] for i in range(L - 1, -1, -1)]))

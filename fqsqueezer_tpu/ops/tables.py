@@ -111,18 +111,23 @@ def table_find(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array):
 
 
 def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
-                 base: jax.Array, valid: jax.Array):
+                 base: jax.Array, valid: jax.Array, bkt=None, tag=None):
     """Batch-insert/increment (context -> next base) events.
 
     lo/hi/base/valid: [n]. Aggregates per key, then resolves bucket cells with
     BUCKET deterministic claim rounds; keys that find no empty cell in their
     bucket are dropped (the reference instead grows the table at barriers,
     ht_kmer.h:88-112 — we presize from -gs like params.h:131-155).
+
+    bkt/tag may be passed precomputed (the tp-sharded path supplies local
+    bucket indices after ownership masking, parallel/sharded.py).
     """
     n = lo.shape[0]
-    log2_buckets = tags.shape[0].bit_length() - 1
-    bkt = kmers.hash_bucket(lo, hi, log2_buckets)
-    tag = kmers.hash_tag(lo, hi)
+    if bkt is None:
+        log2_buckets = tags.shape[0].bit_length() - 1
+        bkt = kmers.hash_bucket(lo, hi, log2_buckets)
+    if tag is None:
+        tag = kmers.hash_tag(lo, hi)
     bkt = jnp.where(valid, bkt, jnp.int32(-1))
 
     # aggregate increments per (bucket, tag)
@@ -171,3 +176,25 @@ def table_fill_stats(tags: jax.Array):
     """Occupancy diagnostics (reference filling-factor stats, bit_vec.h:204-230)."""
     used = jnp.sum((tags != EMPTY).astype(jnp.int32))
     return used, tags.shape[0] * BUCKET
+
+
+class LocalBackend:
+    """Single-shard table access: arrays are whole tables on this device.
+    The tp-sharded equivalent (parallel/sharded.py TpBackend) holds a bucket
+    range per chip and combines finds with psum — the analog of the
+    reference's owner-thread table shards (SURVEY.md §2 comm table)."""
+
+    def siv_find(self, siv, ctx):
+        return siv_find(siv, ctx)
+
+    def siv_update(self, siv, keys, valid):
+        return siv_update(siv, keys, valid)
+
+    def table_find(self, tags, cnts, lo, hi):
+        return table_find(tags, cnts, lo, hi)
+
+    def table_update(self, tags, cnts, lo, hi, base, valid):
+        return table_update(tags, cnts, lo, hi, base, valid)
+
+
+LOCAL = LocalBackend()

@@ -84,6 +84,9 @@ class Params:
     smer_len: int = 15
     bmer_len: int = 26
 
+    # id geometry (set at compress time from the data; stored in the header)
+    max_id_len: int = 64
+
     # TPU execution geometry
     n_lanes: int = 1024            # interleaved rANS lanes per batch
     max_batch_reads: int = 32768   # reads per device step (sync interval)
@@ -121,6 +124,7 @@ class Params:
     _HDR_KEYS = (
         "dna_mode", "id_mode", "quality_mode", "quality_thr",
         "duplicates_check", "prefix_len", "pmer_len", "smer_len", "bmer_len",
+        "max_id_len",
         "n_lanes", "max_batch_reads", "scale_bits",
         "smer_log2_buckets", "bmer_log2_buckets", "pe_log2_buckets",
     )

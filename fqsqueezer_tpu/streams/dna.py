@@ -110,12 +110,13 @@ def _pos_bucket(i, length):
     return pb
 
 
-def _lookup_counts(state: DnaState, pm_ctx, s_lo, s_hi, b_lo, b_hi, vp, vs, vb):
+def _lookup_counts(state: DnaState, pm_ctx, s_lo, s_hi, b_lo, b_hi, vp, vs, vb,
+                   be=tables.LOCAL):
     """Count cascade (reference find_counts, dna.cpp:457-502).
     Returns (counts [..., 4] int32, level [...] int32)."""
-    cp = tables.siv_find(state.siv, pm_ctx)
-    cs, fs = tables.table_find(state.s_tags, state.s_cnts, s_lo, s_hi)
-    cb, fb = tables.table_find(state.b_tags, state.b_cnts, b_lo, b_hi)
+    cp = be.siv_find(state.siv, pm_ctx)
+    cs, fs = be.table_find(state.s_tags, state.s_cnts, s_lo, s_hi)
+    cb, fb = be.table_find(state.b_tags, state.b_cnts, b_lo, b_hi)
     fp = vp & (jnp.sum(cp, axis=-1) > 0)
     fs = fs & vs
     fb = fb & vb
@@ -180,7 +181,8 @@ def _popcount4(v):
 # encoder: fully-parallel modeling over the batch
 # ---------------------------------------------------------------------------
 
-def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths):
+def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
+                 be=tables.LOCAL):
     """Compute per-position (ctx, coded symbol, freq, cum) for a whole batch.
 
     codes/kcodes: [R, L] int32; lengths: [R] int32.
@@ -202,7 +204,7 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths):
     vb = pos >= cfg.bmer_len - 1
     counts, level = _lookup_counts(
         state, (pm & jnp.uint32(4 ** (cfg.siv_len - 1) - 1)).astype(jnp.int32),
-        s_lo, s_hi, b_lo, b_hi, vp, vs, vb)
+        s_lo, s_hi, b_lo, b_hi, vp, vs, vb, be)
 
     ranks = _rank_of(counts, codes)
     use_code = (pos >= cfg.prefix_len) & (level > LEVEL_NONE)
@@ -234,7 +236,7 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths):
 # ---------------------------------------------------------------------------
 
 def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
-                        ctx_all, sym_enc, active) -> DnaState:
+                        ctx_all, sym_enc, active, be=tables.LOCAL) -> DnaState:
     """Apply one batch's k-mer/model statistics (both strands; reference
     queues inserts per owner shard, dna.cpp:810-852, and SIV inserts both
     strands, bit_vec semantics)."""
@@ -248,7 +250,7 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
     siv_f = kmers.pack_windows(kcodes, cfg.siv_len)[0].astype(jnp.int32)
     siv_r = kmers.pack_windows_rc(kcodes, cfg.siv_len)[0].astype(jnp.int32)
     v_siv = (pos >= cfg.siv_len - 1) & active
-    siv = tables.siv_update(
+    siv = be.siv_update(
         state.siv,
         jnp.concatenate([siv_f.reshape(-1), siv_r.reshape(-1)]),
         jnp.concatenate([v_siv.reshape(-1), v_siv.reshape(-1)]))
@@ -264,7 +266,7 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
         hi = jnp.concatenate([ctx_hi.reshape(-1), rc_hi.reshape(-1)])
         base = jnp.concatenate([kcodes.reshape(-1), rc_base.reshape(-1)])
         valid = jnp.concatenate([vk.reshape(-1), vk.reshape(-1)])
-        return tables.table_update(tags, cnts, lo, hi, base, valid)
+        return be.table_update(tags, cnts, lo, hi, base, valid)
 
     s_tags, s_cnts = upd(state.s_tags, state.s_cnts, cfg.smer_len, cfg.smer_log2_buckets)
     b_tags, b_cnts = upd(state.b_tags, state.b_cnts, cfg.bmer_len, cfg.bmer_log2_buckets)
@@ -273,11 +275,13 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
                     b_tags=b_tags, b_cnts=b_cnts, model=model)
 
 
-def dna_apply_batch(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths) -> DnaState:
+def dna_apply_batch(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
+                    be=tables.LOCAL) -> DnaState:
     """Recompute contexts for a (decoded) batch and evolve the state —
     identical math to the encoder's pass, guaranteeing convergence."""
-    ctx_all, sym_enc, _, _, active = dna_modeling(cfg, state, codes, kcodes, lengths)
-    return dna_collect_updates(cfg, state, codes, kcodes, lengths, ctx_all, sym_enc, active)
+    ctx_all, sym_enc, _, _, active = dna_modeling(cfg, state, codes, kcodes, lengths, be)
+    return dna_collect_updates(cfg, state, codes, kcodes, lengths, ctx_all, sym_enc,
+                               active, be)
 
 
 # ---------------------------------------------------------------------------
@@ -296,7 +300,7 @@ def dna_encode_batch(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths):
 
 
 def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_states,
-                     L: int):
+                     L: int, be=tables.LOCAL, apply_update: bool = True):
     """Decode a batch. lengths: [R] int32 (R multiple of n_lanes), words:
     [W] uint32 stream, init_states: [N] uint32 (encoder's final states).
 
@@ -340,7 +344,7 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             state, (pkey & pm_mask).astype(jnp.int32),
             slo & s_mlo, shi & s_mhi, blo & b_mlo, bhi & b_mhi,
             jnp.broadcast_to(vp, x.shape), jnp.broadcast_to(vs, x.shape),
-            jnp.broadcast_to(vb, x.shape))
+            jnp.broadcast_to(vb, x.shape), be)
 
         use_code = (i >= cfg.prefix_len) & (level > LEVEL_NONE)
         pb = _pos_bucket(jnp.full_like(level, i), jnp.broadcast_to(length, level.shape))
@@ -380,5 +384,8 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
 
     codes = common.from_grid(ys, N, L)
     kcodes = jnp.where(codes >= 4, 0, codes)
-    new_state = dna_apply_batch(cfg, state, codes, kcodes, lengths)
+    if apply_update:
+        new_state = dna_apply_batch(cfg, state, codes, kcodes, lengths, be)
+    else:
+        new_state = state
     return codes, new_state, x, ptr

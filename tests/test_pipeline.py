@@ -1,0 +1,154 @@
+"""End-to-end file round-trip tests (SE) over the mode matrix."""
+import numpy as np
+import pytest
+
+from fqsqueezer_tpu import pipeline
+from fqsqueezer_tpu.io import fastq
+from fqsqueezer_tpu.params import Params, DnaMode, QualityMode, IdMode
+
+
+def make_fastq(path, n_reads, read_len, seed=0, genome_kb=20):
+    """Synthetic reads sampled from a small genome (so k-mer stats help)."""
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, size=genome_kb * 1000)
+    lines = []
+    for i in range(n_reads):
+        hdr = f"@SRR0.{i + 1} {i + 1} length={read_len}"
+        start = rng.integers(0, len(genome) - read_len)
+        seq = genome[start:start + read_len].copy()
+        # sprinkle sequencing errors + occasional N
+        nerr = rng.poisson(0.5)
+        for _ in range(nerr):
+            seq[rng.integers(0, read_len)] = rng.integers(0, 4)
+        if rng.random() < 0.05:
+            seq[rng.integers(0, read_len)] = 4
+        s = "".join("ACGTN"[b] for b in seq)
+        q = "".join(chr(33 + int(c)) for c in
+                    np.clip(rng.normal(35, 4, read_len), 0, 70).astype(int))
+        lines += [hdr, s, "+", q]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def reads_of(path):
+    d = fastq.read_fastq(path)
+    out = []
+    for i in range(d.n_reads):
+        n = d.lengths[i]
+        out.append((bytes(d.codes[i, :n]), bytes(d.quals[i, :n])))
+    return out
+
+
+def small_params(**kw):
+    p = Params()
+    p.genome_size = 1  # small tables for test speed
+    p.adjust_kmer_sizes()
+    p.n_lanes = 64
+    p.max_batch_reads = 512
+    p.id_mode = IdMode.NONE
+    for k, v in kw.items():
+        setattr(p, k, v)
+    return p
+
+
+def roundtrip(tmp_path, p, n_reads=600, read_len=72, seed=3):
+    src = str(tmp_path / "in.fastq")
+    arc = str(tmp_path / "out.fqst")
+    dst = str(tmp_path / "roundtrip.fastq")
+    make_fastq(src, n_reads, read_len, seed=seed)
+    stats = pipeline.compress_file(p, src, arc)
+    assert stats["n_reads"] == n_reads
+    pipeline.decompress_file(Params(), arc, dst)
+    return src, dst, stats
+
+
+def test_se_original_lossless_quality(tmp_path):
+    p = small_params(dna_mode=DnaMode.SE_ORIGINAL,
+                     quality_mode=QualityMode.LOSSLESS)
+    src, dst, stats = roundtrip(tmp_path, p)
+    rin, rout = reads_of(src), reads_of(dst)
+    assert rin == rout
+    assert stats["out_bytes"] < stats["in_bytes"]
+
+
+def test_se_sorted_reorders_but_preserves_set(tmp_path):
+    p = small_params(dna_mode=DnaMode.SE_SORTED,
+                     quality_mode=QualityMode.LOSSLESS)
+    src, dst, _ = roundtrip(tmp_path, p)
+    rin, rout = reads_of(src), reads_of(dst)
+    assert sorted(rin) == sorted(rout)
+
+
+@pytest.mark.parametrize("qm", [QualityMode.ILLUMINA_8, QualityMode.ILLUMINA_4,
+                                QualityMode.BINARY, QualityMode.NONE])
+def test_se_quality_modes(tmp_path, qm):
+    p = small_params(dna_mode=DnaMode.SE_ORIGINAL, quality_mode=qm)
+    src, dst, _ = roundtrip(tmp_path, p, n_reads=300)
+    rin, rout = reads_of(src), reads_of(dst)
+    # sequences always exact
+    assert [r[0] for r in rin] == [r[0] for r in rout]
+    if qm == QualityMode.NONE:
+        from fqsqueezer_tpu.streams.quality import qual_maps
+        assert all(set(q) == {p.quality_thr} for _, q in rout)
+    else:
+        # quantization is idempotent: fwd(rev(fwd(q))) == fwd(q)
+        from fqsqueezer_tpu.streams.quality import qual_maps
+        fwd, rev = qual_maps(qm.value, p.quality_thr)
+        for (_, qi), (_, qo) in zip(rin, rout):
+            np.testing.assert_array_equal(
+                fwd[np.frombuffer(qi, np.uint8)],
+                fwd[np.frombuffer(qo, np.uint8)])
+            np.testing.assert_array_equal(
+                rev[fwd[np.frombuffer(qi, np.uint8)]],
+                np.frombuffer(qo, np.uint8))
+
+
+def test_varied_read_lengths(tmp_path):
+    # ragged lengths exercise masked rANS no-ops and meta coding
+    src = str(tmp_path / "in.fastq")
+    rng = np.random.default_rng(7)
+    lines = []
+    for i in range(257):
+        n = int(rng.integers(30, 120))
+        s = "".join("ACGT"[b] for b in rng.integers(0, 4, n))
+        lines += [f"@r{i}", s, "+", "I" * n]
+    with open(src, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    p = small_params(dna_mode=DnaMode.SE_ORIGINAL,
+                     quality_mode=QualityMode.LOSSLESS)
+    arc = str(tmp_path / "a.fqst")
+    dst = str(tmp_path / "rt.fastq")
+    pipeline.compress_file(p, src, arc)
+    pipeline.decompress_file(Params(), arc, dst)
+    assert reads_of(src) == reads_of(dst)
+
+
+def test_id_lossless_byte_exact_file(tmp_path):
+    """om=o + qm=o + im=o must reproduce the input file byte-for-byte."""
+    p = small_params(dna_mode=DnaMode.SE_ORIGINAL,
+                     quality_mode=QualityMode.LOSSLESS,
+                     id_mode=IdMode.LOSSLESS)
+    src, dst, _ = roundtrip(tmp_path, p, n_reads=400)
+    assert open(src, "rb").read() == open(dst, "rb").read()
+
+
+def test_id_instrument_mode(tmp_path):
+    """Instrument mode keeps the id prefix up to the first '.', ' ' or ':'."""
+    p = small_params(dna_mode=DnaMode.SE_ORIGINAL,
+                     quality_mode=QualityMode.NONE,
+                     id_mode=IdMode.INSTRUMENT)
+    src, dst, _ = roundtrip(tmp_path, p, n_reads=300)
+    din = fastq.read_fastq(src)
+    dout = fastq.read_fastq(dst)
+    from fqsqueezer_tpu.streams.ids import instrument_prefix
+    assert dout.ids == instrument_prefix(din.ids)
+
+
+def test_compression_beats_raw_on_redundant_data(tmp_path):
+    p = small_params(dna_mode=DnaMode.SE_ORIGINAL,
+                     quality_mode=QualityMode.NONE)
+    src, dst, stats = roundtrip(tmp_path, p, n_reads=2000, read_len=100,
+                                seed=11)
+    # DNA from a 20kb genome, 2000x100bp = 10x coverage: k-mer stats must
+    # push well below 2 bits/base
+    assert stats["bits_per_base"] < 1.6
