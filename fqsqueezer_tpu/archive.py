@@ -14,7 +14,7 @@ from typing import BinaryIO, List, Tuple
 
 import numpy as np
 
-MAGIC = b"FQTZ01"
+MAGIC = b"FQTZ02"
 
 
 def write_uvarint(f: BinaryIO, v: int) -> None:
@@ -42,25 +42,35 @@ def read_uvarint(f: BinaryIO) -> int:
 
 
 class ArchiveWriter:
+    """Groups chain rANS lane states across batches: the encoder encodes a
+    group's batches in reverse, so the decoder's state at the end of batch k
+    equals its start state for batch k+1, and only ONE state block per stream
+    per group is stored (vs per batch) — see pipeline.py."""
+
     def __init__(self, path: str, header_blob: bytes):
         self.f = open(path, "wb")
         self.f.write(MAGIC)
         write_uvarint(self.f, len(header_blob))
         self.f.write(header_blob)
 
-    def write_batch(self, n_reads: int, max_len: int,
-                    streams: List[Tuple[np.ndarray, int, np.ndarray]]) -> None:
-        """streams: list of (words uint32 array holding uint16 values,
-        n_words, states uint32[n_lanes])."""
+    def write_group(self, states: List[np.ndarray],
+                    batches: List[Tuple[int, int, List[Tuple[np.ndarray, int]]]]
+                    ) -> None:
+        """states: per-stream uint32[n_lanes] decoder start states.
+        batches: list of (n_reads, max_len, [(words, n_words) per stream])."""
         f = self.f
-        write_uvarint(f, n_reads)
-        write_uvarint(f, max_len)
-        write_uvarint(f, len(streams))
-        for words, n_words, states in streams:
-            n_words = int(n_words)
-            write_uvarint(f, n_words)
-            f.write(np.asarray(states, dtype="<u4").tobytes())
-            f.write(np.asarray(words[:n_words], dtype="<u4").astype("<u2").tobytes())
+        write_uvarint(f, len(states))
+        for st in states:
+            f.write(np.asarray(st, dtype="<u4").tobytes())
+        write_uvarint(f, len(batches))
+        for n_reads, max_len, streams in batches:
+            write_uvarint(f, n_reads)
+            write_uvarint(f, max_len)
+            for words, n_words in streams:
+                n_words = int(n_words)
+                write_uvarint(f, n_words)
+                f.write(np.asarray(words[:n_words], dtype="<u4")
+                        .astype("<u2").tobytes())
 
     def write_blob(self, blob: bytes) -> None:
         """Raw auxiliary section (e.g. host-coded id metadata)."""
@@ -79,23 +89,29 @@ class ArchiveReader:
         hlen = read_uvarint(self.f)
         self.header_blob = self.f.read(hlen)
 
-    def read_batch(self, n_lanes: int):
-        """Returns (n_reads, max_len, [(words uint32, n_words, states)]) or
-        None at EOF."""
+    def read_group(self, n_lanes: int):
+        """Returns (states per stream, [(n_reads, max_len, [(words, n_words)
+        per stream])]) or None at EOF."""
         f = self.f
         try:
-            n_reads = read_uvarint(f)
+            n_streams = read_uvarint(f)
         except EOFError:
             return None
-        max_len = read_uvarint(f)
-        n_streams = read_uvarint(f)
-        streams = []
-        for _ in range(n_streams):
-            n_words = read_uvarint(f)
-            states = np.frombuffer(f.read(4 * n_lanes), dtype="<u4")
-            words = np.frombuffer(f.read(2 * n_words), dtype="<u2").astype(np.uint32)
-            streams.append((words, n_words, states))
-        return n_reads, max_len, streams
+        states = [np.frombuffer(f.read(4 * n_lanes), dtype="<u4")
+                  for _ in range(n_streams)]
+        n_batches = read_uvarint(f)
+        batches = []
+        for _ in range(n_batches):
+            n_reads = read_uvarint(f)
+            max_len = read_uvarint(f)
+            streams = []
+            for _ in range(n_streams):
+                n_words = read_uvarint(f)
+                words = np.frombuffer(f.read(2 * n_words),
+                                      dtype="<u2").astype(np.uint32)
+                streams.append((words, n_words))
+            batches.append((n_reads, max_len, streams))
+        return states, batches
 
     def read_blob(self) -> bytes:
         return self.f.read(read_uvarint(self.f))

@@ -125,7 +125,13 @@ def main(argv=None) -> int:
     if p.work_mode == WorkMode.COMPRESS:
         if not p.file_names:
             raise SystemExit("no input files")
-        stats = pipeline.compress_file(p, p.file_names[0], p.out_path)
+        if p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED):
+            if len(p.file_names) < 2:
+                raise SystemExit("paired-end mode needs two input files")
+            stats = pipeline.compress_pe(p, p.file_names[0], p.file_names[1],
+                                         p.out_path)
+        else:
+            stats = pipeline.compress_file(p, p.file_names[0], p.out_path)
         if p.verbosity >= 1:
             print(f"reads: {stats['n_reads']}  in: {stats['in_bytes']}  "
                   f"out: {stats['out_bytes']}  ratio: {stats['ratio']:.3f}  "
@@ -134,7 +140,8 @@ def main(argv=None) -> int:
         if not p.file_names:
             raise SystemExit("no input archive")
         try:
-            stats = pipeline.decompress_file(p, p.file_names[0], p.out_path)
+            stats = pipeline.decompress_file(p, p.file_names[0], p.out_path,
+                                             p.out_path2)
         except ValueError as e:
             raise SystemExit(f"error: {e}")
         if p.verbosity >= 1:

@@ -88,14 +88,27 @@ def parse_fastq_bytes(data: np.ndarray) -> FastqData:
     return FastqData(codes=codes, quals=quals, lengths=lengths, ids=ids)
 
 
-def read_fastq(path: str) -> FastqData:
-    return parse_fastq_bytes(np.fromfile(path, dtype=np.uint8))
+def read_fastq(path: str, use_native: bool = True) -> FastqData:
+    data = np.fromfile(path, dtype=np.uint8)
+    if use_native:
+        from . import native
+
+        out = native.parse_fastq_bytes_native(data)
+        if out is not None:
+            return out
+    return parse_fastq_bytes(data)
 
 
 def write_fastq(path: str, codes: np.ndarray, quals: np.ndarray,
-                lengths: np.ndarray, ids: list | None) -> None:
+                lengths: np.ndarray, ids: list | None,
+                use_native: bool = True) -> None:
     """Reconstruct a FASTQ file. ids=None emits bare '@' lines (the reference's
     id-none reconstruction, id.cpp:486-492)."""
+    if use_native:
+        from . import native
+
+        if native.write_fastq_native(path, codes, quals, lengths, ids):
+            return
     R, L = codes.shape
     if ids is None:
         id_arrs = [b""] * R

@@ -122,7 +122,11 @@ def make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
         g = partial(jax.lax.all_gather, axis_name="dp", axis=0, tiled=True)
 
         # META
-        m_ctx, m_syms, m_f, m_c = meta.meta_modeling(mcfg, state.meta, lengths)
+        lcp = (meta.compute_lcp(codes, lengths, mcfg.n_lanes,
+                                mcfg.lcp_stride)
+               if mcfg.with_lcp else None)
+        m_ctx, m_syms, m_f, m_c = meta.meta_modeling(mcfg, state.meta,
+                                                     lengths, lcp)
         m_words, m_n, m_states = rans.rans_encode(
             common.to_grid(m_f, mcfg.n_lanes), common.to_grid(m_c, mcfg.n_lanes),
             mcfg.scale_bits)
@@ -130,14 +134,16 @@ def make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
             state.meta, g(m_ctx).reshape(-1), g(m_syms).reshape(-1),
             jnp.ones(g(m_ctx).size, dtype=bool))
 
-        # DNA
+        # DNA (kcodes -> repaired effective kcodes, dna.dna_effective_kcodes)
+        eff = dna.dna_effective_kcodes(dcfg, state.dna, codes, kcodes,
+                                       lengths, be)
         ctx, sym, f, c, active = dna.dna_modeling(
-            dcfg, state.dna, codes, kcodes, lengths, be)
+            dcfg, state.dna, codes, eff, lengths, be, lcp)
         d_words, d_n, d_states = rans.rans_encode(
             common.to_grid(f, dcfg.n_lanes), common.to_grid(c, dcfg.n_lanes),
             dcfg.scale_bits)
         d_state = dna.dna_collect_updates(
-            dcfg, state.dna, g(codes), g(kcodes), g(lengths),
+            dcfg, state.dna, g(codes), g(eff), g(lengths),
             g(ctx), g(sym), g(active), be)
 
         # QUALITY
@@ -203,22 +209,26 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
              d_words, d_states, q_words, q_states):
         g = partial(jax.lax.all_gather, axis_name="dp", axis=0, tiled=True)
 
-        lengths, _, _, _ = meta.meta_decode_batch(
+        lengths, lcp, _, _, _ = meta.meta_decode_batch(
             mcfg, state.meta, R_shard, m_words, m_states)
         lengths = jnp.minimum(lengths, L).astype(jnp.int32)
-        m_ctx, m_syms, _, _ = meta.meta_modeling(mcfg, state.meta, lengths)
+        lcp = lcp if mcfg.with_lcp else None
+        m_ctx, m_syms, _, _ = meta.meta_modeling(mcfg, state.meta, lengths,
+                                                 lcp)
         m_model = models.model_update(
             state.meta, g(m_ctx).reshape(-1), g(m_syms).reshape(-1),
             jnp.ones(g(m_ctx).size, dtype=bool))
 
         codes, _, _, _ = dna.dna_decode_batch(
             dcfg, state.dna, lengths, d_words, d_states, L, be,
-            apply_update=False)
+            apply_update=False, lcp=lcp, lcp_stride=mcfg.lcp_stride)
         kcodes = jnp.where(codes >= 4, 0, codes)
+        eff = dna.dna_effective_kcodes(dcfg, state.dna, codes, kcodes,
+                                       lengths, be)
         ctx, sym, _, _, active = dna.dna_modeling(
-            dcfg, state.dna, codes, kcodes, lengths, be)
+            dcfg, state.dna, codes, eff, lengths, be, lcp)
         d_state = dna.dna_collect_updates(
-            dcfg, state.dna, g(codes), g(kcodes), g(lengths),
+            dcfg, state.dna, g(codes), g(eff), g(lengths),
             g(ctx), g(sym), g(active), be)
 
         if qcfg is not None:

@@ -89,7 +89,8 @@ class Params:
 
     # TPU execution geometry
     n_lanes: int = 1024            # interleaved rANS lanes per batch
-    max_batch_reads: int = 32768   # reads per device step (sync interval)
+    max_batch_reads: int = 4096    # reads per device step (sync interval);
+    # smaller = fresher tables = better ratio (state cost amortized by groups)
     scale_bits: int = 14           # rANS probability resolution
 
     # table capacities (log2 of bucket counts); presized like the reference

@@ -46,7 +46,11 @@ def make_configs(p: Params):
     if p.quality_mode != QualityMode.NONE:
         qcfg = quality.QualConfig(mode=qmode, qt=p.quality_thr,
                                   scale_bits=p.scale_bits, n_lanes=p.n_lanes)
-    mcfg = meta.MetaConfig(scale_bits=p.scale_bits, n_lanes=p.n_lanes)
+    mcfg = meta.MetaConfig(
+        scale_bits=p.scale_bits, n_lanes=p.n_lanes,
+        with_lcp=p.dna_mode in (DnaMode.SE_SORTED, DnaMode.PE_SORTED),
+        lcp_stride=2 if p.dna_mode in (DnaMode.PE_ORIGINAL,
+                                       DnaMode.PE_SORTED) else 1)
     icfg = None
     if p.id_mode != IdMode.NONE:
         icfg = ids.IdConfig(max_id_len=p.max_id_len, scale_bits=p.scale_bits,
@@ -65,10 +69,12 @@ def state_create(dcfg, qcfg, icfg=None) -> CodecState:
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _encode_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes, kcodes,
                   lengths, qsyms, id_mat, id_lens):
+    lcp = (meta.compute_lcp(codes, lengths, mcfg.n_lanes, mcfg.lcp_stride)
+           if mcfg.with_lcp else None)
     m_words, m_n, m_states, m_model = meta.meta_encode_batch(
-        mcfg, state.meta, lengths)
+        mcfg, state.meta, lengths, lcp)
     d_words, d_n, d_states, d_state = dna.dna_encode_batch(
-        dcfg, state.dna, codes, kcodes, lengths)
+        dcfg, state.dna, codes, kcodes, lengths, lcp)
     if qcfg is not None:
         q_words, q_n, q_states, q_model = quality.qual_encode_batch(
             qcfg, state.qual, qsyms, lengths)
@@ -89,45 +95,110 @@ def _encode_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes, kcodes,
             (d_words, d_n, d_states), (q_words, q_n, q_states), new_state)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _model_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes, kcodes,
+                 lengths, qsyms, id_mat, id_lens):
+    """Modeling + state evolution only: returns per-stream (freq, cum) lane
+    grids for deferred (group-chained) rANS emission, plus the new state."""
+    from .ops import models as _m
+    from .streams import ids as _ids
+
+    lcp = (meta.compute_lcp(codes, lengths, mcfg.n_lanes, mcfg.lcp_stride)
+           if mcfg.with_lcp else None)
+
+    m_ctx, m_syms, m_f, m_c = meta.meta_modeling(mcfg, state.meta, lengths, lcp)
+    m_model = _m.model_update(
+        state.meta, m_ctx.reshape(-1), m_syms.reshape(-1),
+        jnp.ones(m_ctx.size, dtype=bool))
+
+    eff = dna.dna_effective_kcodes(dcfg, state.dna, codes, kcodes, lengths)
+    d_ctx, d_sym, d_f, d_c, d_act = dna.dna_modeling(
+        dcfg, state.dna, codes, eff, lengths, lcp=lcp)
+    d_state = dna.dna_collect_updates(
+        dcfg, state.dna, codes, eff, lengths, d_ctx, d_sym, d_act)
+
+    grids = [(common.to_grid(m_f, mcfg.n_lanes), common.to_grid(m_c, mcfg.n_lanes)),
+             (common.to_grid(d_f, dcfg.n_lanes), common.to_grid(d_c, dcfg.n_lanes))]
+
+    if qcfg is not None:
+        q_ctx, q_f, q_c, q_act = quality.qual_modeling(
+            qcfg, state.qual, qsyms, lengths)
+        q_model = _m.model_update(
+            state.qual, q_ctx.reshape(-1), qsyms.reshape(-1), q_act.reshape(-1))
+        grids.append((common.to_grid(q_f, qcfg.n_lanes),
+                      common.to_grid(q_c, qcfg.n_lanes)))
+    else:
+        q_model = None
+    if icfg is not None:
+        i_ctx, i_syms, i_f, i_c, i_act = _ids.id_modeling(
+            icfg, state.id, id_mat, id_lens)
+        i_model = _m.model_update(
+            state.id, i_ctx.reshape(-1), i_syms.reshape(-1), i_act.reshape(-1))
+        grids.append((common.to_grid(i_f, icfg.n_lanes),
+                      common.to_grid(i_c, icfg.n_lanes)))
+    else:
+        i_model = None
+
+    new_state = CodecState(dna=d_state, meta=m_model, qual=q_model, id=i_model)
+    return grids, new_state
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _rans_grid(f, c, scale_bits, init_states):
+    from .ops import rans as _r
+
+    return _r.rans_encode(f.astype(jnp.uint32), c.astype(jnp.uint32),
+                          scale_bits, init_states)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _decode_batch(dcfg, qcfg, mcfg, icfg, R, L, state: CodecState,
                   m_words, m_states, i_words, i_states,
                   d_words, d_states, q_words, q_states):
-    lengths, m_model, _, _ = meta.meta_decode_batch(
+    """Decode one batch; returns the per-stream FINAL lane states so the
+    caller can chain them into the next batch of the group."""
+    lengths, lcp, m_model, m_x, _ = meta.meta_decode_batch(
         mcfg, state.meta, R, m_words, m_states)
     lengths = jnp.minimum(lengths, L).astype(jnp.int32)
-    codes, d_state, _, _ = dna.dna_decode_batch(
-        dcfg, state.dna, lengths, d_words, d_states, L)
+    codes, d_state, d_x, _ = dna.dna_decode_batch(
+        dcfg, state.dna, lengths, d_words, d_states, L,
+        lcp=lcp if mcfg.with_lcp else None, lcp_stride=mcfg.lcp_stride)
     if qcfg is not None:
-        qsyms, q_model, _, _ = quality.qual_decode_batch(
+        qsyms, q_model, q_x, _ = quality.qual_decode_batch(
             qcfg, state.qual, lengths, q_words, q_states, L)
     else:
-        qsyms, q_model = jnp.zeros((R, L), jnp.int32), None
+        qsyms, q_model, q_x = jnp.zeros((R, L), jnp.int32), None, q_states
     if icfg is not None:
-        id_mat, id_lens, i_model, _, _ = ids.id_decode_batch(
+        id_mat, id_lens, i_model, i_x, _ = ids.id_decode_batch(
             icfg, state.id, R, i_words, i_states)
     else:
         id_mat = jnp.zeros((R, 1), jnp.uint8)
-        id_lens, i_model = jnp.zeros((R,), jnp.int32), None
+        id_lens, i_model, i_x = jnp.zeros((R,), jnp.int32), None, i_states
     new_state = CodecState(dna=d_state, meta=m_model, qual=q_model,
                            id=i_model)
-    return lengths, codes, qsyms, id_mat, id_lens, new_state
+    return (lengths, codes, qsyms, id_mat, id_lens, new_state,
+            (m_x, d_x, q_x, i_x))
 
 
 def batch_schedule(n_reads: int, n_lanes: int, max_batch: int,
-                   first_batch: int = 0):
+                   first_batch: int = 0, align: int = 0):
     """Doubling batch sizes: [first, 2*first, ...] capped at max_batch — the
     analog of the reference's decaying sync frequency (application.h:85-92):
-    young tables sync often. Returns (start, take, padded) triples."""
+    young tables sync often. Returns (start, take, padded) triples.
+
+    align: pad/size granularity; PE uses 2*n_lanes so reads-per-lane stays
+    even and mate pairs never straddle a lane boundary."""
+    align = align or n_lanes
     if not first_batch:
         first_batch = max_batch // 16
-    first_batch = max(min(first_batch, max_batch), n_lanes)
+    first_batch = max(min(first_batch, max_batch), align)
+    first_batch = -(-first_batch // align) * align
     out = []
     start = 0
     size = first_batch
     while start < n_reads:
         take = min(size, n_reads - start)
-        padded = common.pad_reads(take, n_lanes)
+        padded = -(-take // align) * align
         out.append((start, take, padded))
         start += take
         size = min(size * 2, max_batch)
@@ -143,11 +214,15 @@ def _pad_batch(arr: np.ndarray, padded: int):
 
 
 def compress_file(p: Params, in_path: str, out_path: str,
-                  data: Optional[fastq.FastqData] = None) -> dict:
-    """SE compression. Returns stats dict."""
+                  data: Optional[fastq.FastqData] = None,
+                  group_mem_bytes: int = 512 << 20) -> dict:
+    """SE compression with group-chained rANS emission: batches are modeled
+    forward (tables evolve), their (freq, cum) grids buffered host-side, and
+    each group's batches are entropy-coded in REVERSE so lane states chain —
+    one state block per stream per group instead of per batch."""
     if data is None:
         data = fastq.read_fastq(in_path)
-    if p.dna_mode in (DnaMode.SE_SORTED, DnaMode.PE_SORTED):
+    if p.dna_mode == DnaMode.SE_SORTED:
         order = fastq.sort_order(data.codes, data.lengths)
         data = fastq.FastqData(
             codes=data.codes[order], quals=data.quals[order],
@@ -165,6 +240,7 @@ def compress_file(p: Params, in_path: str, out_path: str,
 
     dcfg, qcfg, mcfg, icfg = make_configs(p)
     state = state_create(dcfg, qcfg, icfg)
+    n_streams = 2 + (qcfg is not None) + (icfg is not None)
 
     qfwd = None
     if qcfg is not None:
@@ -172,8 +248,42 @@ def compress_file(p: Params, in_path: str, out_path: str,
 
     writer = archive.ArchiveWriter(out_path, p.store_params())
     R_total = data.n_reads
-    for start, take, padded in batch_schedule(R_total, p.n_lanes,
-                                              p.max_batch_reads):
+    stream_bytes = {"meta": 0, "dna": 0, "qual": 0, "id": 0, "states": 0}
+    skeys = ["meta", "dna"] + (["qual"] if qcfg else []) + (["id"] if icfg else [])
+
+    group_fc = []      # per batch: [ (f u16, c u16) per stream ]
+    group_meta = []    # per batch: (take, L)
+    group_bytes = 0
+
+    def flush_group():
+        nonlocal group_fc, group_meta, group_bytes
+        if not group_meta:
+            return
+        per_batch_words = [[None] * n_streams for _ in group_meta]
+        states_out = []
+        for si in range(n_streams):
+            st = None
+            for k in range(len(group_meta) - 1, -1, -1):
+                f16, c16 = group_fc[k][si]
+                if st is None:
+                    st = jnp.full((p.n_lanes,), 1 << 16, jnp.uint32)
+                words, n_words, st = _rans_grid(
+                    jnp.asarray(f16), jnp.asarray(c16), p.scale_bits, st)
+                per_batch_words[k][si] = (np.asarray(words), int(n_words))
+            states_out.append(np.asarray(st))
+            stream_bytes[skeys[si]] += sum(
+                2 * per_batch_words[k][si][1] for k in range(len(group_meta)))
+        stream_bytes["states"] += 4 * p.n_lanes * n_streams
+        writer.write_group(
+            states_out,
+            [(take, L, per_batch_words[k])
+             for k, (take, L) in enumerate(group_meta)])
+        group_fc, group_meta, group_bytes = [], [], 0
+
+    is_pe = p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
+    for start, take, padded in batch_schedule(
+            R_total, p.n_lanes, p.max_batch_reads,
+            align=2 * p.n_lanes if is_pe else p.n_lanes):
         codes = _pad_batch(data.codes[start:start + take], padded).astype(np.int32)
         lengths = _pad_batch(data.lengths[start:start + take], padded).astype(np.int32)
         if qfwd is not None:
@@ -188,35 +298,37 @@ def compress_file(p: Params, in_path: str, out_path: str,
             id_lens = np.zeros((padded,), np.int32)
         kcodes = np.where(codes >= 4, 0, codes).astype(np.int32)
 
-        m_out, i_out, d_out, q_out, state = _encode_batch(
+        grids, state = _model_batch(
             dcfg, qcfg, mcfg, icfg, state, jnp.asarray(codes),
             jnp.asarray(kcodes), jnp.asarray(lengths), jnp.asarray(qs),
             jnp.asarray(id_mat), jnp.asarray(id_lens))
-        streams = [
-            (np.asarray(m_out[0]), int(m_out[1]), np.asarray(m_out[2])),
-            (np.asarray(d_out[0]), int(d_out[1]), np.asarray(d_out[2])),
-        ]
-        if qcfg is not None:
-            streams.append((np.asarray(q_out[0]), int(q_out[1]),
-                            np.asarray(q_out[2])))
-        if icfg is not None:
-            streams.append((np.asarray(i_out[0]), int(i_out[1]),
-                            np.asarray(i_out[2])))
-        writer.write_batch(take, codes.shape[1], streams)
+        fc16 = [(np.asarray(f).astype(np.uint16), np.asarray(c).astype(np.uint16))
+                for f, c in grids]
+        group_fc.append(fc16)
+        group_meta.append((take, codes.shape[1]))
+        group_bytes += sum(f.nbytes + c.nbytes for f, c in fc16)
+        if group_bytes >= group_mem_bytes:
+            flush_group()
+    flush_group()
     writer.close()
 
     import os
     in_bytes = os.path.getsize(in_path) if os.path.exists(in_path) else 0
     out_bytes = os.path.getsize(out_path)
     n_bases = int(data.lengths.sum())
+    if p.verbosity >= 2:
+        det = "  ".join(f"{k}: {v:,}" for k, v in stream_bytes.items())
+        print(f"streams: {det}")
     return {
         "n_reads": R_total, "in_bytes": in_bytes, "out_bytes": out_bytes,
         "bits_per_base": 8.0 * out_bytes / max(1, n_bases),
         "ratio": in_bytes / max(1, out_bytes),
+        "stream_bytes": stream_bytes,
     }
 
 
-def decompress_file(p_cli: Params, in_path: str, out_path: str) -> dict:
+def decompress_file(p_cli: Params, in_path: str, out_path: str,
+                    out_path2: str | None = None) -> dict:
     reader = archive.ArchiveReader(in_path)
     p = Params.load_params(reader.header_blob, base=p_cli)
     dcfg, qcfg, mcfg, icfg = make_configs(p)
@@ -229,47 +341,60 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str) -> dict:
     all_codes, all_quals, all_lengths = [], [], []
     all_ids = [] if icfg is not None else None
     while True:
-        rec = reader.read_batch(p.n_lanes)
+        rec = reader.read_group(p.n_lanes)
         if rec is None:
             break
-        take, L, streams = rec
-        padded = common.pad_reads(take, p.n_lanes)
-        cap = padded * max(L, 2)
+        gstates, batches = rec
+        cur = [jnp.asarray(st) for st in gstates]
+        align = (2 * p.n_lanes
+                 if p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
+                 else p.n_lanes)
+        for take, L, streams in batches:
+            padded = -(-take // align) * align
+            cap = padded * max(L, 2)
 
-        def fit(words, cap):
-            w = np.zeros((cap,), np.uint32)
-            w[:words.shape[0]] = words
-            return jnp.asarray(w)
+            def fit(words, cap):
+                w = np.zeros((cap,), np.uint32)
+                w[:words.shape[0]] = words
+                return jnp.asarray(w)
 
-        si = 0
-        m_words, _, m_states = streams[si]; si += 1
-        d_words, _, d_states = streams[si]; si += 1
-        if qcfg is not None:
-            q_words, _, q_states = streams[si]; si += 1
-        else:
-            q_words = np.zeros((0,), np.uint32)
-            q_states = np.zeros((0,), np.uint32)
-        if icfg is not None:
-            i_words, _, i_states = streams[si]; si += 1
-            i_cap = padded * (2 + icfg.max_id_len)
-        else:
-            i_words = np.zeros((0,), np.uint32)
-            i_states = np.zeros((0,), np.uint32)
-            i_cap = 0
+            si = 0
+            m_words, _ = streams[si]; m_states = cur[si]; si += 1
+            d_words, _ = streams[si]; d_states = cur[si]; si += 1
+            if qcfg is not None:
+                q_words, _ = streams[si]; q_states = cur[si]; si += 1
+            else:
+                q_words = np.zeros((0,), np.uint32)
+                q_states = jnp.zeros((0,), jnp.uint32)
+            if icfg is not None:
+                i_words, _ = streams[si]; i_states = cur[si]; si += 1
+                i_cap = padded * (2 + icfg.max_id_len)
+            else:
+                i_words = np.zeros((0,), np.uint32)
+                i_states = jnp.zeros((0,), jnp.uint32)
+                i_cap = 0
 
-        lengths, codes, qsyms, id_mat, id_lens, state = _decode_batch(
-            dcfg, qcfg, mcfg, icfg, padded, L, state,
-            fit(m_words, 2 * padded), jnp.asarray(m_states),
-            fit(i_words, i_cap), jnp.asarray(i_states),
-            fit(d_words, cap), jnp.asarray(d_states),
-            fit(q_words, cap), jnp.asarray(q_states))
-        all_codes.append(np.asarray(codes[:take]))
-        all_quals.append(np.asarray(qsyms[:take]))
-        all_lengths.append(np.asarray(lengths[:take]))
-        if all_ids is not None:
-            mat = np.asarray(id_mat[:take])
-            lens = np.asarray(id_lens[:take])
-            all_ids.extend(mat[r, :lens[r]].tobytes() for r in range(take))
+            (lengths, codes, qsyms, id_mat, id_lens, state,
+             (m_x, d_x, q_x, i_x)) = _decode_batch(
+                dcfg, qcfg, mcfg, icfg, padded, L, state,
+                fit(m_words, mcfg.n_per_read * padded), m_states,
+                fit(i_words, i_cap), i_states,
+                fit(d_words, cap), d_states,
+                fit(q_words, cap), q_states)
+            nxt = [m_x, d_x]
+            if qcfg is not None:
+                nxt.append(q_x)
+            if icfg is not None:
+                nxt.append(i_x)
+            cur = nxt
+            all_codes.append(np.asarray(codes[:take]))
+            all_quals.append(np.asarray(qsyms[:take]))
+            all_lengths.append(np.asarray(lengths[:take]))
+            if all_ids is not None:
+                mat = np.asarray(id_mat[:take])
+                lens = np.asarray(id_lens[:take])
+                all_ids.extend(mat[r, :lens[r]].tobytes()
+                               for r in range(take))
     reader.close()
 
     if not all_codes:
@@ -289,5 +414,68 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str) -> dict:
         quals = qrev[qsyms].astype(np.uint8)
     else:
         quals = np.full(qsyms.shape, p.quality_thr, np.uint8)
-    fastq.write_fastq(out_path, codes, quals, lengths, all_ids)
+    if p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED):
+        decompress_pe_split(p, codes, quals, lengths, all_ids, out_path,
+                            out_path2 or p.out_path2)
+    else:
+        fastq.write_fastq(out_path, codes, quals, lengths, all_ids)
     return {"n_reads": int(lengths.shape[0])}
+
+
+def interleave_pe(d1: fastq.FastqData, d2: fastq.FastqData) -> fastq.FastqData:
+    """Interleave mate files so pairs are adjacent (reference CReadsBlock PE
+    read, reads_block.h:144-169)."""
+    if d1.n_reads != d2.n_reads:
+        raise ValueError(
+            f"PE mate counts differ: {d1.n_reads} vs {d2.n_reads}")
+    R = d1.n_reads
+    L = max(d1.max_len, d2.max_len, 1)
+
+    def padL(a):
+        return np.pad(a, ((0, 0), (0, L - a.shape[1])))
+
+    codes = np.empty((2 * R, L), d1.codes.dtype if R else np.uint8)
+    quals = np.empty((2 * R, L), np.uint8)
+    lengths = np.empty((2 * R,), np.int32)
+    if R:
+        codes[0::2] = padL(d1.codes)
+        codes[1::2] = padL(d2.codes)
+        quals[0::2] = padL(d1.quals)
+        quals[1::2] = padL(d2.quals)
+        lengths[0::2] = d1.lengths
+        lengths[1::2] = d2.lengths
+    ids = [None] * (2 * R)
+    ids[0::2] = d1.ids
+    ids[1::2] = d2.ids
+    return fastq.FastqData(codes=codes, quals=quals, lengths=lengths, ids=ids)
+
+
+def compress_pe(p: Params, in1: str, in2: str, out_path: str) -> dict:
+    """Paired-end compression: pairs interleaved; sorted mode orders pairs by
+    mate1's sequence (reference sorts mate2 by mate1's permutation,
+    io.h:531-550); mate-to-mate statistics flow through the shared k-mer
+    tables across batches."""
+    d1 = fastq.read_fastq(in1)
+    d2 = fastq.read_fastq(in2)
+    if p.dna_mode == DnaMode.PE_SORTED:
+        order = fastq.sort_order(d1.codes, d1.lengths)
+        d1 = fastq.FastqData(d1.codes[order], d1.quals[order],
+                             d1.lengths[order], [d1.ids[i] for i in order])
+        d2 = fastq.FastqData(d2.codes[order], d2.quals[order],
+                             d2.lengths[order], [d2.ids[i] for i in order])
+    data = interleave_pe(d1, d2)
+    stats = compress_file(p, in1, out_path, data=data)
+    import os
+
+    stats["in_bytes"] = os.path.getsize(in1) + os.path.getsize(in2)
+    stats["ratio"] = stats["in_bytes"] / max(1, stats["out_bytes"])
+    return stats
+
+
+def decompress_pe_split(p: Params, codes, quals, lengths, ids,
+                        out1: str, out2: str) -> None:
+    """De-interleave decoded pairs into the two mate files."""
+    fastq.write_fastq(out1, codes[0::2], quals[0::2], lengths[0::2],
+                      None if ids is None else ids[0::2])
+    fastq.write_fastq(out2, codes[1::2], quals[1::2], lengths[1::2],
+                      None if ids is None else ids[1::2])

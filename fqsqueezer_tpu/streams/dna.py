@@ -55,6 +55,15 @@ _Q23 = (1, 2, 4)                                                 # 2 bits
 
 LEVEL_NONE, LEVEL_PMER, LEVEL_SMER, LEVEL_MIXED, LEVEL_BMER = 0, 1, 2, 3, 4
 
+# k-mer repair (reference repair_kmers_existing/missing, dna.cpp:333-454):
+# when the actual base is unseen in a confident context, the rolling k-mer
+# registers carry the most-likely base instead, so one sequencing error does
+# not poison the next k positions' lookups. MAX_REPAIRS bounds the encoder's
+# committed-repair iterations AND the decoder's per-read repair budget, so
+# both sides apply the identical greedy left-to-right rule.
+MAX_REPAIRS = 3
+REPAIR_MIN_COUNT = 2
+
 
 @dataclasses.dataclass(frozen=True)
 class DnaConfig:
@@ -177,21 +186,34 @@ def _popcount4(v):
     return (v & 1) + ((v >> 1) & 1) + ((v >> 2) & 1) + ((v >> 3) & 1)
 
 
-# ---------------------------------------------------------------------------
-# encoder: fully-parallel modeling over the batch
-# ---------------------------------------------------------------------------
+def _best_base(counts):
+    """Rank-0 base: count desc, base asc (matches _rank_all ordering).
+    Returns (best_base, best_count)."""
+    key = (counts << 2) + (3 - jnp.arange(4, dtype=jnp.int32))
+    best = jnp.argmax(key, axis=-1).astype(jnp.int32)
+    bestc = jnp.take_along_axis(counts, best[..., None], axis=-1)[..., 0]
+    return best, bestc
 
-def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
-                 be=tables.LOCAL):
-    """Compute per-position (ctx, coded symbol, freq, cum) for a whole batch.
 
-    codes/kcodes: [R, L] int32; lengths: [R] int32.
-    Returns (ctx_all, sym_enc, freq, cum, active): all [R, L].
-    """
-    R, L = codes.shape
+def _repair_trigger(counts, level, base):
+    """True where the repair rule fires: confident context (>= smer level),
+    actual base unseen, best base well-supported and different."""
+    cb = jnp.take_along_axis(counts, jnp.minimum(base, 3)[..., None],
+                             axis=-1)[..., 0]
+    cb = jnp.where(base >= 4, 0, cb)
+    best, bestc = _best_base(counts)
+    kc = jnp.where(base >= 4, 0, base)
+    trig = ((level >= LEVEL_SMER) & (cb == 0)
+            & (bestc >= REPAIR_MIN_COUNT) & (best != kc))
+    return trig, best
+
+
+def _window_lookup(cfg, state, kcodes, lengths, be=tables.LOCAL):
+    """Pack all three window widths over kcodes and run the count cascade.
+    Returns (counts [R, L, 4], level [R, L], active)."""
+    R, L = kcodes.shape
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
-    lens = lengths[:, None]
-    active = pos < lens
+    active = pos < lengths[:, None]
 
     pm = kmers.shift_right(kmers.pack_windows(kcodes, cfg.siv_len - 1)[0], 1)
     s_lo, s_hi = kmers.pack_windows(kcodes, cfg.smer_len - 1)
@@ -205,11 +227,58 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
     counts, level = _lookup_counts(
         state, (pm & jnp.uint32(4 ** (cfg.siv_len - 1) - 1)).astype(jnp.int32),
         s_lo, s_hi, b_lo, b_hi, vp, vs, vb, be)
+    return counts, level, active
+
+
+def dna_effective_kcodes(cfg, state, codes, kcodes, lengths, be=tables.LOCAL):
+    """Encoder-side repair: MAX_REPAIRS committed-repair iterations, each
+    recomputing the cascade over the current effective windows and committing
+    the FIRST trigger per read past the previous commit — exactly the
+    decoder's sequential greedy rule (see MAX_REPAIRS note above)."""
+    R, L = kcodes.shape
+    pos_row = jnp.arange(L, dtype=jnp.int32)[None, :]
+    eff = kcodes
+    frontier = jnp.full((R,), -1, jnp.int32)
+    rows = jnp.arange(R, dtype=jnp.int32)
+    for _ in range(MAX_REPAIRS):
+        counts, level, active = _window_lookup(cfg, state, eff, lengths, be)
+        trig, best = _repair_trigger(counts, level, codes)
+        trig = trig & active & (pos_row > frontier[:, None])
+        first = jnp.min(jnp.where(trig, pos_row, L), axis=1)  # [R]
+        has = first < L
+        idx = jnp.minimum(first, L - 1)
+        newb = best[rows, idx]
+        eff = eff.at[rows, jnp.where(has, idx, L)].set(
+            jnp.where(has, newb, 0), mode="drop")
+        frontier = jnp.where(has, first, jnp.int32(L))
+    return eff
+
+
+# ---------------------------------------------------------------------------
+# encoder: fully-parallel modeling over the batch
+# ---------------------------------------------------------------------------
+
+def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
+                 be=tables.LOCAL, lcp=None):
+    """Compute per-position (ctx, coded symbol, freq, cum) for a whole batch.
+
+    codes/kcodes: [R, L] int32; lengths: [R] int32. lcp (sorted mode): [R]
+    shared-prefix lengths — positions < lcp are copied from the previous
+    read in the lane and cost zero bits (masked rANS no-ops).
+    Returns (ctx_all, sym_enc, freq, cum, code_active): all [R, L].
+    """
+    R, L = codes.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    lens = lengths[:, None]
+    active = pos < lens
+    code_active = active if lcp is None else active & (pos >= lcp[:, None])
+
+    counts, level, _ = _window_lookup(cfg, state, kcodes, lengths, be)
 
     ranks = _rank_of(counts, codes)
     use_code = (pos >= cfg.prefix_len) & (level > LEVEL_NONE)
 
-    rbit = (use_code & (ranks > 0)).astype(jnp.int32)
+    rbit = (use_code & code_active & (ranks > 0)).astype(jnp.int32)
     nz_hist = sum(kmers.shift_right(rbit, d) for d in (1, 2, 3, 4))
 
     pb = _pos_bucket(pos, lens)
@@ -226,9 +295,9 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
 
     cdf = models.model_cdf(state.model, ctx_all, cfg.scale_bits)
     f, c = models.cdf_encode_lookup(cdf, sym_enc)
-    f = jnp.where(active, f, 1 << cfg.scale_bits)
-    c = jnp.where(active, c, 0)
-    return ctx_all, sym_enc, f, c, active
+    f = jnp.where(code_active, f, 1 << cfg.scale_bits)
+    c = jnp.where(code_active, c, 0)
+    return ctx_all, sym_enc, f, c, code_active
 
 
 # ---------------------------------------------------------------------------
@@ -236,15 +305,19 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
 # ---------------------------------------------------------------------------
 
 def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
-                        ctx_all, sym_enc, active, be=tables.LOCAL) -> DnaState:
+                        ctx_all, sym_enc, code_active, be=tables.LOCAL) -> DnaState:
     """Apply one batch's k-mer/model statistics (both strands; reference
     queues inserts per owner shard, dna.cpp:810-852, and SIV inserts both
-    strands, bit_vec semantics)."""
+    strands, bit_vec semantics). Model updates count only CODED positions
+    (code_active); k-mer tables ingest every in-length position, including
+    sorted-mode copied prefixes."""
     R, L = codes.shape
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    active = pos < lengths[:, None]
 
     model = models.model_update(
-        state.model, ctx_all.reshape(-1), sym_enc.reshape(-1), active.reshape(-1))
+        state.model, ctx_all.reshape(-1), sym_enc.reshape(-1),
+        code_active.reshape(-1))
 
     # SIV: packed siv_len windows are exactly (ctx<<2 | next_base) cell indices
     siv_f = kmers.pack_windows(kcodes, cfg.siv_len)[0].astype(jnp.int32)
@@ -276,33 +349,41 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
 
 
 def dna_apply_batch(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
-                    be=tables.LOCAL) -> DnaState:
+                    be=tables.LOCAL, lcp=None) -> DnaState:
     """Recompute contexts for a (decoded) batch and evolve the state —
     identical math to the encoder's pass, guaranteeing convergence."""
-    ctx_all, sym_enc, _, _, active = dna_modeling(cfg, state, codes, kcodes, lengths, be)
-    return dna_collect_updates(cfg, state, codes, kcodes, lengths, ctx_all, sym_enc,
-                               active, be)
+    eff = dna_effective_kcodes(cfg, state, codes, kcodes, lengths, be)
+    ctx_all, sym_enc, _, _, code_active = dna_modeling(
+        cfg, state, codes, eff, lengths, be, lcp)
+    return dna_collect_updates(cfg, state, codes, eff, lengths, ctx_all,
+                               sym_enc, code_active, be)
 
 
 # ---------------------------------------------------------------------------
 # batch encode / decode
 # ---------------------------------------------------------------------------
 
-def dna_encode_batch(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths):
+def dna_encode_batch(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
+                     lcp=None):
     """Returns (words, n_words, init_decoder_states, new_state)."""
-    ctx_all, sym_enc, f, c, active = dna_modeling(cfg, state, codes, kcodes, lengths)
+    eff = dna_effective_kcodes(cfg, state, codes, kcodes, lengths)
+    ctx_all, sym_enc, f, c, code_active = dna_modeling(
+        cfg, state, codes, eff, lengths, tables.LOCAL, lcp)
     fg = common.to_grid(f, cfg.n_lanes)
     cg = common.to_grid(c, cfg.n_lanes)
     words, n_words, states = rans.rans_encode(fg, cg, cfg.scale_bits)
-    new_state = dna_collect_updates(cfg, state, codes, kcodes, lengths,
-                                    ctx_all, sym_enc, active)
+    new_state = dna_collect_updates(cfg, state, codes, eff, lengths,
+                                    ctx_all, sym_enc, code_active)
     return words, n_words, states, new_state
 
 
 def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_states,
-                     L: int, be=tables.LOCAL, apply_update: bool = True):
+                     L: int, be=tables.LOCAL, apply_update: bool = True,
+                     lcp=None, lcp_stride: int = 1):
     """Decode a batch. lengths: [R] int32 (R multiple of n_lanes), words:
     [W] uint32 stream, init_states: [N] uint32 (encoder's final states).
+    lcp (sorted mode): [R] — positions < lcp are copied from the previous
+    read in the lane instead of entropy-decoded.
 
     Returns (codes [R, L] int32, new_state, final_states, n_words_consumed).
     """
@@ -310,6 +391,8 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
     R = lengths.shape[0]
     r_pl = R // N
     lengths_grid = common.to_read_grid(lengths, N)  # [N, r_pl]
+    with_lcp = lcp is not None
+    lcp_grid = common.to_read_grid(lcp, N) if with_lcp else None
     T = r_pl * L
     sb = cfg.scale_bits
 
@@ -327,15 +410,31 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
     b_mlo, b_mhi = key_mask(b_w)
 
     def step(carry, t):
-        x, ptr, pkey, slo, shi, blo, bhi, lh, rh = carry
+        (x, ptr, pkey, slo, shi, blo, bhi, lh, rh, rep_cnt, prev2_row,
+         prev_row, cur_row) = carry
         rd = t // L
         i = t % L
         length = jax.lax.dynamic_index_in_dim(lengths_grid, rd, axis=1, keepdims=False)
         active = i < length
+        if with_lcp:
+            my_lcp = jax.lax.dynamic_index_in_dim(lcp_grid, rd, axis=1,
+                                                  keepdims=False)
+            in_prefix = active & (i < my_lcp)
+            prev2_row, prev_row, cur_row = jax.lax.cond(
+                i == 0,
+                lambda: (prev_row, cur_row, jnp.zeros_like(cur_row)),
+                lambda: (prev2_row, prev_row, cur_row))
+            src_row = prev2_row if lcp_stride == 2 else prev_row
+            prefix_base = jax.lax.dynamic_index_in_dim(src_row, i, axis=1,
+                                                       keepdims=False)
+        else:
+            in_prefix = jnp.zeros_like(active)
+            prefix_base = jnp.zeros((x.shape[0],), jnp.int32)
 
         at_start = i == 0
         lh = jnp.where(at_start, LH_RESET, lh)
         rh = jnp.where(at_start, 0, rh)
+        rep_cnt = jnp.where(at_start, 0, rep_cnt)
 
         vp = (i >= cfg.siv_len - 1) & active
         vs = (i >= s_w) & active
@@ -356,13 +455,19 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
         cdf = models.model_cdf(state.model, ctx_all, sb)
         slot = rans.rans_decode_slots(x, sb)
         sym, f, c = rans.cdf_lookup(cdf, slot)
-        f = jnp.where(active, f, 1 << sb)
-        c = jnp.where(active, c, 0)
+        coded = active & ~in_prefix
+        f = jnp.where(coded, f, 1 << sb)
+        c = jnp.where(coded, c, 0)
         x, ptr = rans.rans_decode_advance(x, ptr, words, f, c, sb)
 
         base = jnp.where(use_code, _base_of_rank(counts, sym), sym)
+        base = jnp.where(in_prefix, prefix_base, base)
         base = jnp.where(active, base, 0)
-        kc = jnp.where(base >= 4, 0, base).astype(jnp.uint32)
+        trig, best = _repair_trigger(counts, level, base)
+        do_rep = trig & active & (rep_cnt < MAX_REPAIRS)
+        rep_cnt = rep_cnt + do_rep.astype(jnp.int32)
+        kc = jnp.where(base >= 4, 0, base)
+        kc = jnp.where(do_rep, best, kc).astype(jnp.uint32)
 
         pkey = ((pkey << 2) | kc) & pm_mask
         shi = ((shi << 2) | (slo >> 30)) & s_mhi
@@ -370,22 +475,28 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
         bhi = ((bhi << 2) | (blo >> 30)) & b_mhi
         blo = ((blo << 2) | kc) & b_mlo
         lh = ((lh << 3) | base) & LH_MASK
-        rbit = (use_code & (sym > 0) & active).astype(jnp.int32)
+        rbit = (use_code & (sym > 0) & coded).astype(jnp.int32)
         rh = ((rh << 1) | rbit) & 0xF
+        if with_lcp:
+            cur_row = jax.lax.dynamic_update_index_in_dim(cur_row, base, i,
+                                                          axis=1)
 
-        return (x, ptr, pkey, slo, shi, blo, bhi, lh, rh), base
+        return (x, ptr, pkey, slo, shi, blo, bhi, lh, rh, rep_cnt,
+                prev2_row, prev_row, cur_row), base
 
     zeros_u = jnp.zeros((N,), jnp.uint32)
     zeros_i = jnp.zeros((N,), jnp.int32)
+    row0 = (jnp.zeros((N, L), jnp.int32) if with_lcp
+            else jnp.zeros((N, 1), jnp.int32))
     carry0 = (init_states, jnp.int32(0), zeros_u, zeros_u, zeros_u,
-              zeros_u, zeros_u, zeros_i, zeros_i)
+              zeros_u, zeros_u, zeros_i, zeros_i, zeros_i, row0, row0, row0)
     carry, ys = jax.lax.scan(step, carry0, jnp.arange(T, dtype=jnp.int32))
     x, ptr = carry[0], carry[1]
 
     codes = common.from_grid(ys, N, L)
     kcodes = jnp.where(codes >= 4, 0, codes)
     if apply_update:
-        new_state = dna_apply_batch(cfg, state, codes, kcodes, lengths, be)
+        new_state = dna_apply_batch(cfg, state, codes, kcodes, lengths, be, lcp)
     else:
         new_state = state
     return codes, new_state, x, ptr
