@@ -49,7 +49,10 @@ def pack_counts(c4: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def siv_create(siv_len: int) -> jax.Array:
-    """Word i packs the 4 next-base counts of (p-1)-mer context i."""
+    """Word i packs the 4 saturating u8 next-base counters of (p-1)-mer
+    context i — packed storage keeps FIND traffic (the hot path: 4 window
+    passes per batch) at 4 bytes/row; updates go through a transient int32
+    delta plane (scatter-adds commute => order-independent)."""
     return jnp.zeros((4 ** (siv_len - 1),), dtype=jnp.uint32)
 
 
@@ -59,31 +62,12 @@ def siv_find(siv: jax.Array, ctx: jax.Array) -> jax.Array:
 
 
 def siv_update(siv: jax.Array, keys: jax.Array, valid: jax.Array) -> jax.Array:
-    """Batch-increment cells. keys: [n] int32 packed (ctx<<2|base); valid: [n] bool.
-
-    Deterministic: per-context increments are aggregated first, then one
-    read-modify-write with saturation at 255.
-    """
-    n = keys.shape[0]
-    keys = jnp.where(valid, keys, jnp.int32(-1))
-    order = jnp.argsort(keys)  # invalid (-1) sort first
-    sk = keys[order]
-    ctx = sk >> 2
-    base = sk & 3
-    # segment by context
-    first = jnp.concatenate([jnp.ones((1,), bool), ctx[1:] != ctx[:-1]])
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-    onehot = (base[:, None] == jnp.arange(4)[None, :]).astype(jnp.int32)
-    onehot = jnp.where((sk >= 0)[:, None], onehot, 0)
-    inc4 = jax.ops.segment_sum(onehot, seg, num_segments=n)
-    # representative ctx per segment
-    seg_ctx = jnp.full((n,), -1, jnp.int32).at[seg].set(ctx, mode="drop")
-    live = seg_ctx >= 0
-    idx = jnp.where(live, seg_ctx, 0)
-    old = unpack_counts(siv[idx])
-    neww = pack_counts(old + inc4)
-    neww = jnp.where(live, neww, siv[idx])
-    return siv.at[jnp.where(live, idx, siv.shape[0])].set(neww, mode="drop")
+    """Batch-increment cells. keys: [n] int32 packed (ctx<<2|base); the
+    int32 delta plane sidesteps cross-field carries in the packed words."""
+    n_cells = siv.shape[0] * 4
+    idx = jnp.where(valid, keys, n_cells)
+    delta = jnp.zeros((n_cells,), jnp.int32).at[idx].add(1, mode="drop")
+    return pack_counts(unpack_counts(siv) + delta.reshape(siv.shape[0], 4))
 
 
 # ---------------------------------------------------------------------------
@@ -91,6 +75,8 @@ def siv_update(siv: jax.Array, keys: jax.Array, valid: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def table_create(log2_buckets: int):
+    """Packed u32 counts (4×u8 per cell): FIND is the hot path (4 window
+    passes × 2 tables per batch) and packed rows read 4× less HBM."""
     tags = jnp.zeros((1 << log2_buckets, BUCKET), dtype=jnp.uint32)
     cnts = jnp.zeros((1 << log2_buckets, BUCKET), dtype=jnp.uint32)
     return tags, cnts
@@ -119,56 +105,54 @@ def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
     bucket are dropped (the reference instead grows the table at barriers,
     ht_kmer.h:88-112 — we presize from -gs like params.h:131-155).
 
+    Sort-free design: existing keys scatter-add their one-hot increments
+    directly (duplicate targets are fine — integer adds commute, so the
+    result is order-independent); new keys run ONE claim round (scatter-min
+    of entry index per bucket), the winner writes its tag into the bucket's
+    first empty cell, then every occurrence re-probes and scatter-adds. New
+    keys that lose the claim (another new key in the same bucket this batch,
+    or a full bucket) are dropped and insert on a later recurrence — the
+    reference similarly drops when a bucket fills (ht_kmer.h:420-438).
+
     bkt/tag may be passed precomputed (the tp-sharded path supplies local
     bucket indices after ownership masking, parallel/sharded.py).
     """
     n = lo.shape[0]
+    n_buckets = tags.shape[0]
     if bkt is None:
-        log2_buckets = tags.shape[0].bit_length() - 1
+        log2_buckets = n_buckets.bit_length() - 1
         bkt = kmers.hash_bucket(lo, hi, log2_buckets)
     if tag is None:
         tag = kmers.hash_tag(lo, hi)
-    bkt = jnp.where(valid, bkt, jnp.int32(-1))
-
-    # aggregate increments per (bucket, tag)
-    order = jnp.lexsort((tag, bkt))
-    sb, st = bkt[order], tag[order]
-    sbase = base[order]
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), (sb[1:] != sb[:-1]) | (st[1:] != st[:-1])]
-    )
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-    onehot = (sbase[:, None] == jnp.arange(4)[None, :]).astype(jnp.int32)
-    onehot = jnp.where((sb >= 0)[:, None], onehot, 0)
-    inc4 = jax.ops.segment_sum(onehot, seg, num_segments=n)
-    seg_bkt = jnp.full((n,), -1, jnp.int32).at[seg].set(sb, mode="drop")
-    seg_tag = jnp.zeros((n,), jnp.uint32).at[seg].set(st, mode="drop")
-
-    active = seg_bkt >= 0
-    sbkt = jnp.where(active, seg_bkt, 0)
+    bkt = jnp.where(valid, bkt, 0)
     rank = jnp.arange(n, dtype=jnp.int32)
 
-    for j in range(BUCKET):
-        cell_tag = tags[sbkt, j]
-        is_match = active & (cell_tag == seg_tag)
-        is_empty = active & (cell_tag == EMPTY)
+    # claim rounds: one new key per bucket per round
+    for _ in range(6):
+        row_t = tags[bkt]                           # [n, BUCKET]
+        match = row_t == tag[:, None]
+        found = jnp.any(match, axis=1) & valid
+        empty = row_t == EMPTY
+        has_empty = jnp.any(empty, axis=1)
+        first_empty = jnp.argmax(empty, axis=1)
+        want = valid & ~found & has_empty
+        claim = jnp.full((n_buckets,), n, jnp.int32).at[
+            jnp.where(want, bkt, n_buckets)].min(rank, mode="drop")
+        winner = want & (claim[bkt] == rank)
+        tags = tags.at[jnp.where(winner, bkt, n_buckets), first_empty].set(
+            tag, mode="drop")
 
-        # matched: saturating add (targets are unique: one pending per key)
-        m_idx = jnp.where(is_match, sbkt, tags.shape[0])
-        old = unpack_counts(cnts[sbkt, j])
-        neww = pack_counts(old + inc4)
-        cnts = cnts.at[m_idx, j].set(neww, mode="drop")
-
-        # empty: claim by scatter-min of pending rank
-        claim = jnp.full((tags.shape[0],), n, jnp.int32)
-        c_idx = jnp.where(is_empty, sbkt, tags.shape[0])
-        claim = claim.at[c_idx].min(rank, mode="drop")
-        won = is_empty & (claim[sbkt] == rank)
-        w_idx = jnp.where(won, sbkt, tags.shape[0])
-        tags = tags.at[w_idx, j].set(seg_tag, mode="drop")
-        cnts = cnts.at[w_idx, j].set(pack_counts(inc4), mode="drop")
-
-        active = active & ~is_match & ~won
+    # re-probe (winners and their duplicates now match) and scatter-add into
+    # an int32 delta plane, then one saturating repack sweep
+    row_t2 = tags[bkt]
+    match2 = row_t2 == tag[:, None]
+    found2 = jnp.any(match2, axis=1) & valid
+    cell2 = jnp.argmax(match2, axis=1)
+    flat = (bkt * BUCKET + cell2) * 4 + base
+    flat = jnp.where(found2, flat, n_buckets * BUCKET * 4)
+    delta = jnp.zeros((n_buckets * BUCKET * 4,), jnp.int32).at[flat].add(
+        1, mode="drop")
+    cnts = pack_counts(unpack_counts(cnts) + delta.reshape(n_buckets, BUCKET, 4))
     return tags, cnts
 
 

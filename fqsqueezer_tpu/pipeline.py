@@ -96,12 +96,19 @@ def _encode_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes, kcodes,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _model_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes, kcodes,
-                 lengths, qsyms, id_mat, id_lens):
+def _model_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes_u8,
+                 quals_u8, qfwd_lut, lengths, id_mat, id_lens):
     """Modeling + state evolution only: returns per-stream (freq, cum) lane
-    grids for deferred (group-chained) rANS emission, plus the new state."""
+    grids (uint16, kept device-resident by the caller for deferred
+    group-chained rANS emission), plus the new state. Inputs arrive as uint8
+    matrices — int32 codes / k-codes / quantized quality symbols are derived
+    on device so the host->device push stays at ~1 byte per base."""
     from .ops import models as _m
     from .streams import ids as _ids
+
+    codes = codes_u8.astype(jnp.int32)
+    kcodes = jnp.where(codes >= 4, 0, codes)
+    qsyms = qfwd_lut[quals_u8.astype(jnp.int32)]
 
     lcp = (meta.compute_lcp(codes, lengths, mcfg.n_lanes, mcfg.lcp_stride)
            if mcfg.with_lcp else None)
@@ -117,16 +124,16 @@ def _model_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes, kcodes,
     d_state = dna.dna_collect_updates(
         dcfg, state.dna, codes, eff, lengths, d_ctx, d_sym, d_act)
 
-    grids = [(common.to_grid(m_f, mcfg.n_lanes), common.to_grid(m_c, mcfg.n_lanes)),
-             (common.to_grid(d_f, dcfg.n_lanes), common.to_grid(d_c, dcfg.n_lanes))]
+    g16 = lambda a, n: common.to_grid(a, n).astype(jnp.uint16)
+    grids = [(g16(m_f, mcfg.n_lanes), g16(m_c, mcfg.n_lanes)),
+             (g16(d_f, dcfg.n_lanes), g16(d_c, dcfg.n_lanes))]
 
     if qcfg is not None:
         q_ctx, q_f, q_c, q_act = quality.qual_modeling(
             qcfg, state.qual, qsyms, lengths)
         q_model = _m.model_update(
             state.qual, q_ctx.reshape(-1), qsyms.reshape(-1), q_act.reshape(-1))
-        grids.append((common.to_grid(q_f, qcfg.n_lanes),
-                      common.to_grid(q_c, qcfg.n_lanes)))
+        grids.append((g16(q_f, qcfg.n_lanes), g16(q_c, qcfg.n_lanes)))
     else:
         q_model = None
     if icfg is not None:
@@ -134,8 +141,7 @@ def _model_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes, kcodes,
             icfg, state.id, id_mat, id_lens)
         i_model = _m.model_update(
             state.id, i_ctx.reshape(-1), i_syms.reshape(-1), i_act.reshape(-1))
-        grids.append((common.to_grid(i_f, icfg.n_lanes),
-                      common.to_grid(i_c, icfg.n_lanes)))
+        grids.append((g16(i_f, icfg.n_lanes), g16(i_c, icfg.n_lanes)))
     else:
         i_model = None
 
@@ -176,8 +182,9 @@ def _decode_batch(dcfg, qcfg, mcfg, icfg, R, L, state: CodecState,
         id_lens, i_model, i_x = jnp.zeros((R,), jnp.int32), None, i_states
     new_state = CodecState(dna=d_state, meta=m_model, qual=q_model,
                            id=i_model)
-    return (lengths, codes, qsyms, id_mat, id_lens, new_state,
-            (m_x, d_x, q_x, i_x))
+    # u8 outputs keep the device->host pull at ~1 byte per base
+    return (lengths, codes.astype(jnp.uint8), qsyms.astype(jnp.uint8),
+            id_mat, id_lens, new_state, (m_x, d_x, q_x, i_x))
 
 
 def batch_schedule(n_reads: int, n_lanes: int, max_batch: int,
@@ -215,7 +222,8 @@ def _pad_batch(arr: np.ndarray, padded: int):
 
 def compress_file(p: Params, in_path: str, out_path: str,
                   data: Optional[fastq.FastqData] = None,
-                  group_mem_bytes: int = 512 << 20) -> dict:
+                  group_mem_bytes: int = 512 << 20,
+                  snapshot_prefix: Optional[str] = None) -> dict:
     """SE compression with group-chained rANS emission: batches are modeled
     forward (tables evolve), their (freq, cum) grids buffered host-side, and
     each group's batches are entropy-coded in REVERSE so lane states chain —
@@ -242,9 +250,11 @@ def compress_file(p: Params, in_path: str, out_path: str,
     state = state_create(dcfg, qcfg, icfg)
     n_streams = 2 + (qcfg is not None) + (icfg is not None)
 
-    qfwd = None
     if qcfg is not None:
         qfwd, _ = quality.qual_maps(qcfg.mode, qcfg.qt)
+        qfwd_lut = jnp.asarray(qfwd)
+    else:
+        qfwd_lut = jnp.zeros((96,), jnp.int32)
 
     writer = archive.ArchiveWriter(out_path, p.store_params())
     R_total = data.n_reads
@@ -254,9 +264,10 @@ def compress_file(p: Params, in_path: str, out_path: str,
     group_fc = []      # per batch: [ (f u16, c u16) per stream ]
     group_meta = []    # per batch: (take, L)
     group_bytes = 0
+    group_idx = 0
 
     def flush_group():
-        nonlocal group_fc, group_meta, group_bytes
+        nonlocal group_fc, group_meta, group_bytes, group_idx
         if not group_meta:
             return
         per_batch_words = [[None] * n_streams for _ in group_meta]
@@ -267,8 +278,7 @@ def compress_file(p: Params, in_path: str, out_path: str,
                 f16, c16 = group_fc[k][si]
                 if st is None:
                     st = jnp.full((p.n_lanes,), 1 << 16, jnp.uint32)
-                words, n_words, st = _rans_grid(
-                    jnp.asarray(f16), jnp.asarray(c16), p.scale_bits, st)
+                words, n_words, st = _rans_grid(f16, c16, p.scale_bits, st)
                 per_batch_words[k][si] = (np.asarray(words), int(n_words))
             states_out.append(np.asarray(st))
             stream_bytes[skeys[si]] += sum(
@@ -279,34 +289,37 @@ def compress_file(p: Params, in_path: str, out_path: str,
             [(take, L, per_batch_words[k])
              for k, (take, L) in enumerate(group_meta)])
         group_fc, group_meta, group_bytes = [], [], 0
+        if snapshot_prefix is not None:
+            # state AFTER this group's batches = what a decoder needs to
+            # START decoding the NEXT group (parallel decode / resume)
+            from . import checkpoint
+
+            checkpoint.save_state(
+                state, checkpoint.snapshot_path(snapshot_prefix, group_idx + 1))
+        group_idx += 1
 
     is_pe = p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
     for start, take, padded in batch_schedule(
             R_total, p.n_lanes, p.max_batch_reads,
             align=2 * p.n_lanes if is_pe else p.n_lanes):
-        codes = _pad_batch(data.codes[start:start + take], padded).astype(np.int32)
+        codes_u8 = _pad_batch(data.codes[start:start + take], padded)
         lengths = _pad_batch(data.lengths[start:start + take], padded).astype(np.int32)
-        if qfwd is not None:
-            qs = qfwd[_pad_batch(data.quals[start:start + take], padded)]
-        else:
-            qs = np.zeros((padded, codes.shape[1]), np.int32)
+        quals_u8 = _pad_batch(data.quals[start:start + take], padded)             if qcfg is not None else np.zeros_like(codes_u8)
         if icfg is not None:
             id_mat = _pad_batch(id_mat_all[start:start + take], padded)
             id_lens = _pad_batch(id_lens_all[start:start + take], padded)
         else:
             id_mat = np.zeros((padded, 1), np.uint8)
             id_lens = np.zeros((padded,), np.int32)
-        kcodes = np.where(codes >= 4, 0, codes).astype(np.int32)
 
         grids, state = _model_batch(
-            dcfg, qcfg, mcfg, icfg, state, jnp.asarray(codes),
-            jnp.asarray(kcodes), jnp.asarray(lengths), jnp.asarray(qs),
-            jnp.asarray(id_mat), jnp.asarray(id_lens))
-        fc16 = [(np.asarray(f).astype(np.uint16), np.asarray(c).astype(np.uint16))
-                for f, c in grids]
-        group_fc.append(fc16)
-        group_meta.append((take, codes.shape[1]))
-        group_bytes += sum(f.nbytes + c.nbytes for f, c in fc16)
+            dcfg, qcfg, mcfg, icfg, state,
+            jnp.asarray(np.ascontiguousarray(codes_u8)),
+            jnp.asarray(np.ascontiguousarray(quals_u8)), qfwd_lut,
+            jnp.asarray(lengths), jnp.asarray(id_mat), jnp.asarray(id_lens))
+        group_fc.append(grids)   # device-resident uint16 grids
+        group_meta.append((take, codes_u8.shape[1]))
+        group_bytes += sum(f.size * 2 + c.size * 2 for f, c in grids)
         if group_bytes >= group_mem_bytes:
             flush_group()
     flush_group()
@@ -328,11 +341,17 @@ def compress_file(p: Params, in_path: str, out_path: str,
 
 
 def decompress_file(p_cli: Params, in_path: str, out_path: str,
-                    out_path2: str | None = None) -> dict:
+                    out_path2: str | None = None,
+                    start_group: int = 0,
+                    init_state: Optional[CodecState] = None) -> dict:
+    """start_group/init_state: resume or parallel decode from a snapshot
+    (checkpoint.py) — groups before start_group are skipped, and the codec
+    state must be the snapshot taken after group start_group-1."""
     reader = archive.ArchiveReader(in_path)
     p = Params.load_params(reader.header_blob, base=p_cli)
     dcfg, qcfg, mcfg, icfg = make_configs(p)
-    state = state_create(dcfg, qcfg, icfg)
+    state = init_state if init_state is not None else state_create(
+        dcfg, qcfg, icfg)
 
     qrev = None
     if qcfg is not None:
@@ -340,10 +359,14 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
 
     all_codes, all_quals, all_lengths = [], [], []
     all_ids = [] if icfg is not None else None
+    gi = -1
     while True:
         rec = reader.read_group(p.n_lanes)
         if rec is None:
             break
+        gi += 1
+        if gi < start_group:
+            continue
         gstates, batches = rec
         cur = [jnp.asarray(st) for st in gstates]
         align = (2 * p.n_lanes
