@@ -127,8 +127,9 @@ def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
     bkt = jnp.where(valid, bkt, 0)
     rank = jnp.arange(n, dtype=jnp.int32)
 
-    # claim rounds: one new key per bucket per round
-    for _ in range(6):
+    # claim rounds: one new key per bucket per round (fori_loop: one
+    # compiled body, smaller HLO than unrolling)
+    def claim_round(_, tags):
         row_t = tags[bkt]                           # [n, BUCKET]
         match = row_t == tag[:, None]
         found = jnp.any(match, axis=1) & valid
@@ -139,8 +140,10 @@ def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
         claim = jnp.full((n_buckets,), n, jnp.int32).at[
             jnp.where(want, bkt, n_buckets)].min(rank, mode="drop")
         winner = want & (claim[bkt] == rank)
-        tags = tags.at[jnp.where(winner, bkt, n_buckets), first_empty].set(
+        return tags.at[jnp.where(winner, bkt, n_buckets), first_empty].set(
             tag, mode="drop")
+
+    tags = jax.lax.fori_loop(0, 6, claim_round, tags)
 
     # re-probe (winners and their duplicates now match) and scatter-add into
     # an int32 delta plane, then one saturating repack sweep

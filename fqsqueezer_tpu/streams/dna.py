@@ -237,10 +237,10 @@ def dna_effective_kcodes(cfg, state, codes, kcodes, lengths, be=tables.LOCAL):
     decoder's sequential greedy rule (see MAX_REPAIRS note above)."""
     R, L = kcodes.shape
     pos_row = jnp.arange(L, dtype=jnp.int32)[None, :]
-    eff = kcodes
-    frontier = jnp.full((R,), -1, jnp.int32)
     rows = jnp.arange(R, dtype=jnp.int32)
-    for _ in range(MAX_REPAIRS):
+
+    def body(_, carry):
+        eff, frontier = carry
         counts, level, active = _window_lookup(cfg, state, eff, lengths, be)
         trig, best = _repair_trigger(counts, level, codes)
         trig = trig & active & (pos_row > frontier[:, None])
@@ -251,6 +251,13 @@ def dna_effective_kcodes(cfg, state, codes, kcodes, lengths, be=tables.LOCAL):
         eff = eff.at[rows, jnp.where(has, idx, L)].set(
             jnp.where(has, newb, 0), mode="drop")
         frontier = jnp.where(has, first, jnp.int32(L))
+        return eff, frontier
+
+    # fori_loop: ONE compiled window pass instead of MAX_REPAIRS unrolled
+    # copies — same runtime (the loop is sequential either way), much
+    # smaller HLO (compiles go through a remote service here)
+    eff, _ = jax.lax.fori_loop(
+        0, MAX_REPAIRS, body, (kcodes, jnp.full((R,), -1, jnp.int32)))
     return eff
 
 

@@ -48,3 +48,16 @@ def test_crlf_and_missing_trailing_newline(tmp_path):
     assert d.n_reads == 2
     assert bytes(d.codes[0, :4]) == bytes([0, 1, 2, 3])
     assert d.lengths.tolist() == [4, 4]
+
+
+def test_profiler_tool_runs(tmp_path):
+    """tools/profile.py is the ctx.log analog — keep it working."""
+    from fqsqueezer_tpu.tools.profile import profile_dna
+
+    path = str(tmp_path / "p.fastq")
+    corpus.write_fastq_corpus(path, 256, 60, 20_000, seed=4)
+    rep = profile_dna(path, gs=1, batch=128)
+    assert rep["n_reads"] == 256
+    assert rep["bases"] == 256 * 60
+    assert 0 < rep["est_bits_per_base"] < 8
+    assert sum(d["positions"] for d in rep["levels"].values()) > 0
