@@ -170,7 +170,9 @@ def _base_of_rank(counts, r):
 def _code_ctx(level, counts, pb, nz_hist):
     """Pack the 20-bit count-conditioned context (analog of
     determine_ctx_codes bit-fields, code_ctx.cpp:257-324, single level — the
-    reference's 7-level hierarchy is replaced by direct indexing + smoothing)."""
+    reference's 7-level hierarchy is replaced by direct indexing + smoothing).
+    Adding let_max (lv5's most-likely-base identity) was measured WORSE on
+    the benchmark corpus (+4KB DNA): context splitting beats its signal."""
     cs = jnp.sort(counts, axis=-1)[..., ::-1]
     ctx = (level - 1).astype(jnp.int32)
     ctx = ctx | (_quant(cs[..., 0], _Q0) << 2)
