@@ -54,11 +54,15 @@ class ArchiveWriter:
         self.f.write(header_blob)
 
     def write_group(self, states: List[np.ndarray],
-                    batches: List[Tuple[int, int, List[Tuple[np.ndarray, int]]]]
-                    ) -> None:
+                    batches: List[Tuple[int, int, List[Tuple[np.ndarray, int]]]],
+                    payload_crc: int = 0) -> None:
         """states: per-stream uint32[n_lanes] decoder start states.
-        batches: list of (n_reads, max_len, [(words, n_words) per stream])."""
+        batches: list of (n_reads, max_len, [(words, n_words) per stream]).
+        payload_crc: crc32 of the group's plaintext payload — the decoder
+        recomputes it from decoded data and fails loudly on divergence
+        (integrity checking the reference archive format lacks, SURVEY §5)."""
         f = self.f
+        write_uvarint(f, payload_crc)
         write_uvarint(f, len(states))
         for st in states:
             f.write(np.asarray(st, dtype="<u4").tobytes())
@@ -94,9 +98,10 @@ class ArchiveReader:
         per stream])]) or None at EOF."""
         f = self.f
         try:
-            n_streams = read_uvarint(f)
+            payload_crc = read_uvarint(f)
         except EOFError:
             return None
+        n_streams = read_uvarint(f)
         states = [np.frombuffer(f.read(4 * n_lanes), dtype="<u4")
                   for _ in range(n_streams)]
         n_batches = read_uvarint(f)
@@ -111,7 +116,7 @@ class ArchiveReader:
                                       dtype="<u2").astype(np.uint32)
                 streams.append((words, n_words))
             batches.append((n_reads, max_len, streams))
-        return states, batches
+        return states, batches, payload_crc
 
     def read_blob(self) -> bytes:
         return self.f.read(read_uvarint(self.f))

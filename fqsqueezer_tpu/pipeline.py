@@ -22,6 +22,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import zlib
+
 from . import archive
 from .io import fastq
 from .params import Params, QualityMode, IdMode, DnaMode, WorkMode
@@ -187,6 +189,14 @@ def _decode_batch(dcfg, qcfg, mcfg, icfg, R, L, state: CodecState,
             id_mat, id_lens, new_state, (m_x, d_x, q_x, i_x))
 
 
+def payload_crc(crc: int, codes_u8: np.ndarray, lengths: np.ndarray) -> int:
+    """Rolling crc32 of the sequence payload (codes + lengths). Quality/ids
+    are lossy in most modes, so the integrity check covers what every mode
+    must reproduce exactly."""
+    crc = zlib.crc32(np.ascontiguousarray(codes_u8, dtype=np.uint8), crc)
+    return zlib.crc32(lengths.astype("<i4").tobytes(), crc)
+
+
 def batch_schedule(n_reads: int, n_lanes: int, max_batch: int,
                    first_batch: int = 0, align: int = 0):
     """Doubling batch sizes: [first, 2*first, ...] capped at max_batch — the
@@ -265,9 +275,10 @@ def compress_file(p: Params, in_path: str, out_path: str,
     group_meta = []    # per batch: (take, L)
     group_bytes = 0
     group_idx = 0
+    group_crc = 0
 
     def flush_group():
-        nonlocal group_fc, group_meta, group_bytes, group_idx
+        nonlocal group_fc, group_meta, group_bytes, group_idx, group_crc
         if not group_meta:
             return
         per_batch_words = [[None] * n_streams for _ in group_meta]
@@ -287,7 +298,9 @@ def compress_file(p: Params, in_path: str, out_path: str,
         writer.write_group(
             states_out,
             [(take, L, per_batch_words[k])
-             for k, (take, L) in enumerate(group_meta)])
+             for k, (take, L) in enumerate(group_meta)],
+            payload_crc=group_crc)
+        group_crc = 0
         group_fc, group_meta, group_bytes = [], [], 0
         if snapshot_prefix is not None:
             # state AFTER this group's batches = what a decoder needs to
@@ -312,6 +325,7 @@ def compress_file(p: Params, in_path: str, out_path: str,
             id_mat = np.zeros((padded, 1), np.uint8)
             id_lens = np.zeros((padded,), np.int32)
 
+        group_crc = payload_crc(group_crc, codes_u8[:take], lengths[:take])
         grids, state = _model_batch(
             dcfg, qcfg, mcfg, icfg, state,
             jnp.asarray(np.ascontiguousarray(codes_u8)),
@@ -367,7 +381,8 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
         gi += 1
         if gi < start_group:
             continue
-        gstates, batches = rec
+        gstates, batches, want_crc = rec
+        got_crc = 0
         cur = [jnp.asarray(st) for st in gstates]
         align = (2 * p.n_lanes
                  if p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
@@ -410,14 +425,24 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
             if icfg is not None:
                 nxt.append(i_x)
             cur = nxt
-            all_codes.append(np.asarray(codes[:take]))
+            codes_np = np.asarray(codes[:take])
+            lengths_np = np.asarray(lengths[:take])
+            # mask padding columns like the encoder's input matrices
+            poscols = np.arange(codes_np.shape[1])[None, :]
+            codes_np = np.where(poscols < lengths_np[:, None], codes_np, 0)
+            got_crc = payload_crc(got_crc, codes_np, lengths_np)
+            all_codes.append(codes_np)
             all_quals.append(np.asarray(qsyms[:take]))
-            all_lengths.append(np.asarray(lengths[:take]))
+            all_lengths.append(lengths_np)
             if all_ids is not None:
                 mat = np.asarray(id_mat[:take])
                 lens = np.asarray(id_lens[:take])
                 all_ids.extend(mat[r, :lens[r]].tobytes()
                                for r in range(take))
+        if got_crc != want_crc:
+            raise ValueError(
+                f"payload checksum mismatch in group {gi} "
+                f"(archive corrupt or decoder divergence)")
     reader.close()
 
     if not all_codes:

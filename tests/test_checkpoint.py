@@ -38,3 +38,20 @@ def test_resume_from_group_snapshot(tmp_path):
     tail = reads_of(part)
     assert len(tail) < len(all_reads)
     assert all_reads[len(all_reads) - len(tail):] == tail
+
+
+def test_corrupt_archive_detected(tmp_path):
+    """Payload crc32 catches bit flips in the entropy-coded payload."""
+    import pytest
+
+    src = str(tmp_path / "in.fastq")
+    make_fastq(src, 300, 64, seed=9)
+    p = small_params(dna_mode=DnaMode.SE_ORIGINAL,
+                     quality_mode=QualityMode.NONE)
+    arc = str(tmp_path / "a.fqst")
+    pipeline.compress_file(p, src, arc)
+    blob = bytearray(open(arc, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF  # flip a payload byte
+    open(arc, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        pipeline.decompress_file(Params(), arc, str(tmp_path / "out.fastq"))
