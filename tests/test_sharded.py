@@ -86,3 +86,46 @@ def test_sharded_matches_local_modeling():
     # per shard => same streams modulo shard boundaries); compare total words
     # of the meta stream whose modeling is shard-invariant
     assert int(np.asarray(q_s[1]).sum()) > 0
+
+
+def test_multichip_two_batch_chain():
+    """State must evolve identically across TWO sharded steps: encode two
+    batches, then decode both, chaining lane states and codec state — the
+    multichip analog of the group-chained pipeline."""
+    import __graft_entry__ as ge
+
+    p, (dcfg, qcfg, mcfg, icfg) = ge._tiny_cfgs()
+    mesh = sharded.make_mesh(8, tp=2)
+    dp = mesh.shape["dp"]
+    R = dp * dcfg.n_lanes * 2
+    L = 40
+
+    b0 = ge._tiny_batch(R=R, L=L, seed=0)
+    b1 = ge._tiny_batch(R=R, L=L, seed=1)
+
+    state = pipeline.state_create(dcfg, qcfg, icfg)
+    sspec = sharded.state_specs(qcfg is not None, icfg is not None)
+    state = jax.device_put(
+        state, jax.tree.map(lambda s: NamedSharding(mesh, s), sspec,
+                            is_leaf=lambda x: isinstance(x, P)))
+    bspec = NamedSharding(mesh, P("dp"))
+    put = lambda a: jax.device_put(jnp.asarray(a), bspec)
+
+    enc = sharded.make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh)
+    outs = []
+    st = state
+    for b in (b0, b1):
+        m, i, d, q, st = enc(st, *[put(a) for a in b])
+        outs.append((m, i, d, q))
+
+    dec = sharded.make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh,
+                                      R // dp, L)
+    st = state
+    for b, (m, i, d, q) in zip((b0, b1), outs):
+        lengths, codes, qsyms, id_mat, id_lens, st = dec(
+            st, put(m[0]), put(m[2]), put(i[0]), put(i[2]),
+            put(d[0]), put(d[2]), put(q[0]), put(q[2]))
+        np.testing.assert_array_equal(np.asarray(codes), b[0])
+        np.testing.assert_array_equal(np.asarray(lengths), b[2])
+        np.testing.assert_array_equal(np.asarray(qsyms), b[3])
+        np.testing.assert_array_equal(np.asarray(id_mat), b[4])
