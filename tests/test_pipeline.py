@@ -152,3 +152,44 @@ def test_compression_beats_raw_on_redundant_data(tmp_path):
     # DNA from a 20kb genome, 2000x100bp = 10x coverage: k-mer stats must
     # push well below 2 bits/base
     assert stats["bits_per_base"] < 1.6
+
+
+def test_wide_kmer_geometry(tmp_path):
+    """gs=300 picks smer/bmer > 16 bases: the (lo, hi) uint32-pair key path
+    and >32-bit window masks must round-trip."""
+    p = small_params(dna_mode=DnaMode.SE_ORIGINAL,
+                     quality_mode=QualityMode.NONE)
+    p.genome_size = 300        # -> pmer 17 (siv capped 13), smer 20, bmer 24
+    p.adjust_kmer_sizes()
+    p.smer_log2_buckets = 14   # keep test tables small
+    p.bmer_log2_buckets = 14
+    src, dst, _ = roundtrip(tmp_path, p, n_reads=400, read_len=90, seed=13)
+    assert [r[0] for r in reads_of(src)] == [r[0] for r in reads_of(dst)]
+
+
+def test_sorted_mode_exploits_shared_prefixes(tmp_path):
+    """On duplicate-heavy data, sorted mode must compress the DNA stream
+    materially better than original order (LCP prefix copying at work)."""
+    src = str(tmp_path / "dup.fastq")
+    rng = np.random.default_rng(31)
+    base_reads = ["".join("ACGT"[b] for b in rng.integers(0, 4, 80))
+                  for _ in range(40)]
+    lines = []
+    for i in range(800):  # heavy duplication: 40 distinct reads x 20 copies
+        s = base_reads[rng.integers(0, len(base_reads))]
+        lines += [f"@d{i}", s, "+", "I" * 80]
+    open(src, "w").write("\n".join(lines) + "\n")
+
+    outs = {}
+    for mode in (DnaMode.SE_ORIGINAL, DnaMode.SE_SORTED):
+        p = small_params(dna_mode=mode, quality_mode=QualityMode.NONE)
+        arc = str(tmp_path / f"{mode.value}.fqst")
+        stats = pipeline.compress_file(p, src, arc)
+        outs[mode] = stats["stream_bytes"]["dna"] + stats["stream_bytes"]["meta"]
+        dst = str(tmp_path / f"{mode.value}.out")
+        pipeline.decompress_file(Params(), arc, dst)
+        assert sorted(r[0] for r in reads_of(src)) == \
+            sorted(r[0] for r in reads_of(dst))
+    # duplicates are cheap in BOTH modes once tables fill (k-mer stats);
+    # LCP must still buy a clear margin on top
+    assert outs[DnaMode.SE_SORTED] < 0.9 * outs[DnaMode.SE_ORIGINAL], outs
