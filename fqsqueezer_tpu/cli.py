@@ -33,6 +33,7 @@ options:
   -im <o|i|n>    ids: lossless|instrument|none (default i)
   -out <path>    output path
   -out2 <path>   second output path (PE decompress)
+  -dp <n> -tp <n>  multi-chip mesh: data-parallel / table shards (SE only)
   -tmp <path>    temporary file prefix
   -v <n>         verbosity 0-2
 """
@@ -87,6 +88,12 @@ def parse_args(argv) -> Params:
             if im is None:
                 raise SystemExit(f"invalid -im value '{argv[i]}' (use o|i|n)")
             p.id_mode = im
+        elif a == "-dp":
+            i += 1
+            p.mesh_dp = int(argv[i])
+        elif a == "-tp":
+            i += 1
+            p.mesh_tp = int(argv[i])
         elif a == "-out":
             i += 1
             p.out_path = argv[i]
@@ -130,8 +137,13 @@ def main(argv=None) -> int:
                 raise SystemExit("paired-end mode needs two input files")
             stats = pipeline.compress_pe(p, p.file_names[0], p.file_names[1],
                                          p.out_path)
-        else:
-            stats = pipeline.compress_file(p, p.file_names[0], p.out_path)
+        elif p.mesh_dp > 1 or p.mesh_tp > 1:
+            from .parallel import mesh_pipeline
+
+            stats = mesh_pipeline.compress_file_mesh(
+                p, p.file_names[0], p.out_path, dp=p.mesh_dp, tp=p.mesh_tp)
+            stats.setdefault("ratio", stats["in_bytes"] / max(
+                1, stats["out_bytes"]))
         if p.verbosity >= 1:
             print(f"reads: {stats['n_reads']}  in: {stats['in_bytes']}  "
                   f"out: {stats['out_bytes']}  ratio: {stats['ratio']:.3f}  "
@@ -140,8 +152,19 @@ def main(argv=None) -> int:
         if not p.file_names:
             raise SystemExit("no input archive")
         try:
-            stats = pipeline.decompress_file(p, p.file_names[0], p.out_path,
-                                             p.out_path2)
+            from .params import Params as _P
+            from . import archive as _arc
+
+            hdr = _P.load_params(
+                _arc.ArchiveReader(p.file_names[0]).header_blob, base=p)
+            if hdr.mesh_dp > 1 or hdr.mesh_tp > 1:
+                from .parallel import mesh_pipeline
+
+                stats = mesh_pipeline.decompress_file_mesh(
+                    p, p.file_names[0], p.out_path)
+            else:
+                stats = pipeline.decompress_file(
+                    p, p.file_names[0], p.out_path, p.out_path2)
         except ValueError as e:
             raise SystemExit(f"error: {e}")
         if p.verbosity >= 1:

@@ -1,0 +1,226 @@
+"""Multi-chip compress/decompress pipelines over a dp×tp mesh.
+
+Scales the single-chip pipeline (pipeline.py) across chips: reads are
+data-parallel over `dp` (each shard runs its own rANS lane group and emits an
+independent bitstream), k-mer tables are sharded over `tp` by bucket range
+(parallel/sharded.py). The archive stores each (shard, stream) pair as its
+own stream entry in shard-major order, so the existing group framing
+(archive.py) carries multichip payloads unchanged; `mesh_dp`/`mesh_tp` are
+recorded in the header and decode requires the same mesh — the analog of the
+reference baking its thread count into the archive (params.h:87).
+
+This path keeps per-batch lane states (one group per batch) — the
+group-chained deferred emission of the single-chip path is a round-2 item
+for the mesh; on a mesh the state overhead amortizes across shards' larger
+aggregate batches anyway.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import archive
+from ..io import fastq
+from ..params import Params, DnaMode, IdMode, QualityMode
+from ..streams import quality, ids as ids_mod
+from . import sharded
+from .. import pipeline as base
+
+
+def _mesh_and_specs(p: Params, dcfg, qcfg, mcfg, icfg, dp: int, tp: int):
+    mesh = sharded.make_mesh(dp * tp, tp=tp)
+    sspec = sharded.state_specs(qcfg is not None, icfg is not None)
+    state = base.state_create(dcfg, qcfg, icfg)
+    state = jax.device_put(
+        state, jax.tree.map(lambda s: NamedSharding(mesh, s), sspec,
+                            is_leaf=lambda x: isinstance(x, P)))
+    bspec = NamedSharding(mesh, P("dp"))
+    return mesh, state, bspec
+
+
+def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
+                       tp: int = 1,
+                       data: Optional[fastq.FastqData] = None) -> dict:
+    """SE compression over a dp×tp mesh."""
+    if p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED):
+        raise NotImplementedError("mesh PE lands in round 2")
+    if data is None:
+        data = fastq.read_fastq(in_path)
+    if p.dna_mode == DnaMode.SE_SORTED:
+        order = fastq.sort_order(data.codes, data.lengths)
+        data = fastq.FastqData(data.codes[order], data.quals[order],
+                               data.lengths[order],
+                               [data.ids[i] for i in order])
+
+    id_list = data.ids
+    if p.id_mode == IdMode.INSTRUMENT:
+        id_list = ids_mod.instrument_prefix(id_list)
+    if p.id_mode != IdMode.NONE:
+        p.max_id_len = max(8, max((len(s) for s in id_list), default=8))
+        id_mat_all, id_lens_all = ids_mod.ids_to_matrix(id_list, p.max_id_len)
+    else:
+        id_mat_all = id_lens_all = None
+
+    p.mesh_dp, p.mesh_tp = dp, tp
+    dcfg, qcfg, mcfg, icfg = base.make_configs(p)
+    mesh, state, bspec = _mesh_and_specs(p, dcfg, qcfg, mcfg, icfg, dp, tp)
+    enc = sharded.make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh)
+
+    qfwd = None
+    if qcfg is not None:
+        qfwd, _ = quality.qual_maps(qcfg.mode, qcfg.qt)
+
+    writer = archive.ArchiveWriter(out_path, p.store_params())
+    N = p.n_lanes
+    align = dp * N
+    for start, take, padded in base.batch_schedule(
+            data.n_reads, N, p.max_batch_reads, align=align):
+        L = data.max_len or 1
+        codes = base._pad_batch(data.codes[start:start + take],
+                                padded).astype(np.int32)
+        lengths = base._pad_batch(data.lengths[start:start + take],
+                                  padded).astype(np.int32)
+        kcodes = np.where(codes >= 4, 0, codes).astype(np.int32)
+        if qfwd is not None:
+            qs = qfwd[base._pad_batch(data.quals[start:start + take], padded)]
+        else:
+            qs = np.zeros_like(codes)
+        if icfg is not None:
+            id_mat = base._pad_batch(id_mat_all[start:start + take], padded)
+            id_lens = base._pad_batch(id_lens_all[start:start + take], padded)
+        else:
+            id_mat = np.zeros((padded, 1), np.uint8)
+            id_lens = np.zeros((padded,), np.int32)
+
+        put = lambda a: jax.device_put(jnp.asarray(a), bspec)
+        outs = enc(state, put(codes), put(kcodes), put(lengths), put(qs),
+                   put(id_mat), put(id_lens))
+        m, i, d, q, state = outs
+        base_streams = [m, d] + ([q] if qcfg is not None else []) \
+            + ([i] if icfg is not None else [])
+
+        # shard-major (shard, stream) entries; per-shard words/states slices
+        states_out, batch_streams = [], []
+        for s in range(dp):
+            for words, n_arr, st_arr in base_streams:
+                words = np.asarray(words)
+                n_arr = np.asarray(n_arr)
+                st_arr = np.asarray(st_arr)
+                cap = words.shape[0] // dp
+                n_s = int(n_arr[s])
+                states_out.append(st_arr[s * N:(s + 1) * N])
+                batch_streams.append((words[s * cap:s * cap + n_s], n_s))
+        crc = base.payload_crc(0, np.where(
+            np.arange(codes.shape[1])[None, :] < lengths[:take, None],
+            codes[:take], 0).astype(np.uint8), lengths[:take])
+        writer.write_group(states_out, [(take, codes.shape[1], batch_streams)],
+                           payload_crc=crc)
+    writer.close()
+
+    import os
+    out_bytes = os.path.getsize(out_path)
+    n_bases = int(data.lengths.sum())
+    return {"n_reads": data.n_reads, "out_bytes": out_bytes,
+            "in_bytes": os.path.getsize(in_path) if os.path.exists(in_path) else 0,
+            "bits_per_base": 8.0 * out_bytes / max(1, n_bases)}
+
+
+def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str) -> dict:
+    """Decode a mesh archive; requires mesh_dp×mesh_tp devices."""
+    reader = archive.ArchiveReader(in_path)
+    p = Params.load_params(reader.header_blob, base=p_cli)
+    dp, tp = p.mesh_dp, p.mesh_tp
+    dcfg, qcfg, mcfg, icfg = base.make_configs(p)
+    mesh, state, bspec = _mesh_and_specs(p, dcfg, qcfg, mcfg, icfg, dp, tp)
+    N = p.n_lanes
+    n_base = 2 + (qcfg is not None) + (icfg is not None)
+
+    qrev = None
+    if qcfg is not None:
+        _, qrev = quality.qual_maps(qcfg.mode, qcfg.qt)
+
+    dec_cache = {}
+    all_codes, all_quals, all_lengths = [], [], []
+    all_ids = [] if icfg is not None else None
+    while True:
+        rec = reader.read_group(N)
+        if rec is None:
+            break
+        gstates, batches, want_crc = rec
+        got_crc = 0
+        for take, L, streams in batches:
+            padded = -(-take // (dp * N)) * (dp * N)
+            R_shard = padded // dp
+            key = (R_shard, L)
+            if key not in dec_cache:
+                dec_cache[key] = sharded.make_sharded_decode(
+                    dcfg, qcfg, mcfg, icfg, mesh, R_shard, L)
+            dec = dec_cache[key]
+
+            # reassemble [dp*cap] word planes + [dp*N] states per base stream
+            caps = [mcfg.n_per_read * R_shard, R_shard * max(L, 2)]
+            if qcfg is not None:
+                caps.append(R_shard * max(L, 2))
+            if icfg is not None:
+                caps.append(R_shard * (2 + icfg.max_id_len))
+            planes = [np.zeros((dp * c,), np.uint32) for c in caps]
+            st_planes = [np.zeros((dp * N,), np.uint32) for _ in caps]
+            for s in range(dp):
+                for b in range(n_base):
+                    words, n_w = streams[s * n_base + b]
+                    planes[b][s * caps[b]:s * caps[b] + n_w] = words
+                    st_planes[b][s * N:(s + 1) * N] = gstates[s * n_base + b]
+
+            put = lambda a: jax.device_put(jnp.asarray(a), bspec)
+            args = [state]
+            args += [put(planes[0]), put(st_planes[0])]
+            bi = 2 + (qcfg is not None)
+            if icfg is not None:
+                args += [put(planes[bi]), put(st_planes[bi])]
+            else:
+                z = jnp.zeros((0,), jnp.uint32)
+                args += [z, z]
+            args += [put(planes[1]), put(st_planes[1])]
+            if qcfg is not None:
+                args += [put(planes[2]), put(st_planes[2])]
+            else:
+                z = jnp.zeros((0,), jnp.uint32)
+                args += [z, z]
+            lengths, codes, qsyms, id_mat, id_lens, state = dec(*args)
+
+            codes_np = np.asarray(codes[:take]).astype(np.uint8)
+            lengths_np = np.asarray(lengths[:take]).astype(np.int32)
+            poscols = np.arange(codes_np.shape[1])[None, :]
+            codes_np = np.where(poscols < lengths_np[:, None], codes_np,
+                                0).astype(np.uint8)
+            got_crc = base.payload_crc(got_crc, codes_np, lengths_np)
+            all_codes.append(codes_np)
+            all_quals.append(np.asarray(qsyms[:take]))
+            all_lengths.append(lengths_np)
+            if all_ids is not None:
+                mat = np.asarray(id_mat[:take])
+                lens = np.asarray(id_lens[:take])
+                all_ids.extend(mat[r, :lens[r]].tobytes()
+                               for r in range(take))
+        if got_crc != want_crc:
+            raise ValueError(f"payload checksum mismatch (mesh decode)")
+    reader.close()
+
+    if not all_codes:
+        open(out_path, "wb").close()
+        return {"n_reads": 0}
+    L_max = max(c.shape[1] for c in all_codes)
+    padL = lambda a: np.pad(a, ((0, 0), (0, L_max - a.shape[1])))
+    codes = np.concatenate([padL(c) for c in all_codes]).astype(np.uint8)
+    qsyms = np.concatenate([padL(q) for q in all_quals])
+    lengths = np.concatenate(all_lengths)
+    if qrev is not None:
+        quals = qrev[qsyms].astype(np.uint8)
+    else:
+        quals = np.full(qsyms.shape, p.quality_thr, np.uint8)
+    fastq.write_fastq(out_path, codes, quals, lengths, all_ids)
+    return {"n_reads": int(lengths.shape[0])}

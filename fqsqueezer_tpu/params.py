@@ -88,7 +88,9 @@ class Params:
     max_id_len: int = 64
 
     # TPU execution geometry
-    n_lanes: int = 1024            # interleaved rANS lanes per batch
+    mesh_dp: int = 1               # data-parallel shards the archive was written with
+    mesh_tp: int = 1               # table shards (decode needs the same mesh)
+    n_lanes: int = 1024            # interleaved rANS lanes per batch (per dp shard)
     max_batch_reads: int = 4096    # reads per device step (sync interval);
     # smaller = fresher tables = better ratio (state cost amortized by groups)
     scale_bits: int = 14           # rANS probability resolution
@@ -126,6 +128,7 @@ class Params:
         "dna_mode", "id_mode", "quality_mode", "quality_thr",
         "duplicates_check", "prefix_len", "pmer_len", "smer_len", "bmer_len",
         "max_id_len",
+        "mesh_dp", "mesh_tp",
         "n_lanes", "max_batch_reads", "scale_bits",
         "smer_log2_buckets", "bmer_log2_buckets", "pe_log2_buckets",
     )

@@ -363,6 +363,10 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
     state must be the snapshot taken after group start_group-1."""
     reader = archive.ArchiveReader(in_path)
     p = Params.load_params(reader.header_blob, base=p_cli)
+    if p.mesh_dp > 1:
+        raise ValueError(
+            f"archive was written on a {p.mesh_dp}x{p.mesh_tp} mesh — "
+            f"use parallel.mesh_pipeline.decompress_file_mesh")
     dcfg, qcfg, mcfg, icfg = make_configs(p)
     state = init_state if init_state is not None else state_create(
         dcfg, qcfg, icfg)

@@ -1,0 +1,36 @@
+"""Multi-chip file pipeline: compress/decompress over a dp×tp virtual mesh."""
+import numpy as np
+import pytest
+
+from fqsqueezer_tpu import pipeline
+from fqsqueezer_tpu.parallel import mesh_pipeline
+from fqsqueezer_tpu.io import fastq
+from fqsqueezer_tpu.params import Params, DnaMode, QualityMode, IdMode
+from tests.test_pipeline import make_fastq, reads_of, small_params
+
+
+def test_mesh_file_roundtrip(tmp_path):
+    src = str(tmp_path / "in.fastq")
+    make_fastq(src, 700, 72, seed=5)
+    p = small_params(dna_mode=DnaMode.SE_ORIGINAL,
+                     quality_mode=QualityMode.LOSSLESS,
+                     id_mode=IdMode.LOSSLESS)
+    p.n_lanes = 16
+    arc = str(tmp_path / "m.fqst")
+    dst = str(tmp_path / "m.fastq")
+    stats = mesh_pipeline.compress_file_mesh(p, src, arc, dp=4, tp=2)
+    assert stats["n_reads"] == 700
+    mesh_pipeline.decompress_file_mesh(Params(), arc, dst)
+    assert open(src, "rb").read() == open(dst, "rb").read()
+
+
+def test_single_chip_decoder_rejects_mesh_archive(tmp_path):
+    src = str(tmp_path / "in.fastq")
+    make_fastq(src, 200, 60, seed=6)
+    p = small_params(dna_mode=DnaMode.SE_ORIGINAL,
+                     quality_mode=QualityMode.NONE)
+    p.n_lanes = 16
+    arc = str(tmp_path / "m.fqst")
+    mesh_pipeline.compress_file_mesh(p, src, arc, dp=2, tp=1)
+    with pytest.raises(ValueError, match="mesh"):
+        pipeline.decompress_file(Params(), arc, str(tmp_path / "x.fastq"))
