@@ -135,8 +135,17 @@ def main(argv=None) -> int:
         if p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED):
             if len(p.file_names) < 2:
                 raise SystemExit("paired-end mode needs two input files")
-            stats = pipeline.compress_pe(p, p.file_names[0], p.file_names[1],
-                                         p.out_path)
+            if p.mesh_dp > 1 or p.mesh_tp > 1:
+                from .parallel import mesh_pipeline
+
+                stats = mesh_pipeline.compress_pe_mesh(
+                    p, p.file_names[0], p.file_names[1], p.out_path,
+                    dp=p.mesh_dp, tp=p.mesh_tp)
+                stats.setdefault("ratio", stats["in_bytes"] / max(
+                    1, stats["out_bytes"]))
+            else:
+                stats = pipeline.compress_pe(
+                    p, p.file_names[0], p.file_names[1], p.out_path)
         elif p.mesh_dp > 1 or p.mesh_tp > 1:
             from .parallel import mesh_pipeline
 
@@ -161,7 +170,7 @@ def main(argv=None) -> int:
                 from .parallel import mesh_pipeline
 
                 stats = mesh_pipeline.decompress_file_mesh(
-                    p, p.file_names[0], p.out_path)
+                    p, p.file_names[0], p.out_path, p.out_path2)
             else:
                 stats = pipeline.decompress_file(
                     p, p.file_names[0], p.out_path, p.out_path2)

@@ -45,9 +45,10 @@ def _mesh_and_specs(p: Params, dcfg, qcfg, mcfg, icfg, dp: int, tp: int):
 def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
                        tp: int = 1,
                        data: Optional[fastq.FastqData] = None) -> dict:
-    """SE compression over a dp×tp mesh."""
-    if p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED):
-        raise NotImplementedError("mesh PE lands in round 2")
+    """Compression over a dp×tp mesh (SE; PE via compress_pe_mesh)."""
+    is_pe = p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
+    if is_pe and data is None:
+        raise ValueError("mesh PE: use compress_pe_mesh (two inputs)")
     if data is None:
         data = fastq.read_fastq(in_path)
     if p.dna_mode == DnaMode.SE_SORTED:
@@ -76,7 +77,7 @@ def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
 
     writer = archive.ArchiveWriter(out_path, p.store_params())
     N = p.n_lanes
-    align = dp * N
+    align = dp * N * (2 if is_pe else 1)  # PE: pairs never straddle a lane
     for start, take, padded in base.batch_schedule(
             data.n_reads, N, p.max_batch_reads, align=align):
         L = data.max_len or 1
@@ -129,7 +130,8 @@ def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
             "bits_per_base": 8.0 * out_bytes / max(1, n_bases)}
 
 
-def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str) -> dict:
+def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
+                         out_path2: Optional[str] = None) -> dict:
     """Decode a mesh archive; requires mesh_dp×mesh_tp devices."""
     reader = archive.ArchiveReader(in_path)
     p = Params.load_params(reader.header_blob, base=p_cli)
@@ -152,8 +154,10 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str) -> dict:
             break
         gstates, batches, want_crc = rec
         got_crc = 0
+        align = dp * N * (2 if p.dna_mode in (DnaMode.PE_ORIGINAL,
+                                              DnaMode.PE_SORTED) else 1)
         for take, L, streams in batches:
-            padded = -(-take // (dp * N)) * (dp * N)
+            padded = -(-take // align) * align
             R_shard = padded // dp
             key = (R_shard, L)
             if key not in dec_cache:
@@ -222,5 +226,28 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str) -> dict:
         quals = qrev[qsyms].astype(np.uint8)
     else:
         quals = np.full(qsyms.shape, p.quality_thr, np.uint8)
-    fastq.write_fastq(out_path, codes, quals, lengths, all_ids)
+    if p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED):
+        base.decompress_pe_split(p, codes, quals, lengths, all_ids,
+                                 out_path, out_path2 or p.out_path2)
+    else:
+        fastq.write_fastq(out_path, codes, quals, lengths, all_ids)
     return {"n_reads": int(lengths.shape[0])}
+
+
+def compress_pe_mesh(p: Params, in1: str, in2: str, out_path: str, dp: int,
+                     tp: int = 1) -> dict:
+    """Paired-end over a mesh: interleave pairs then run the mesh pipeline."""
+    d1 = fastq.read_fastq(in1)
+    d2 = fastq.read_fastq(in2)
+    if p.dna_mode == DnaMode.PE_SORTED:
+        order = fastq.sort_order(d1.codes, d1.lengths)
+        d1 = fastq.FastqData(d1.codes[order], d1.quals[order],
+                             d1.lengths[order], [d1.ids[i] for i in order])
+        d2 = fastq.FastqData(d2.codes[order], d2.quals[order],
+                             d2.lengths[order], [d2.ids[i] for i in order])
+    data = base.interleave_pe(d1, d2)
+    stats = compress_file_mesh(p, in1, out_path, dp, tp, data=data)
+    import os
+
+    stats["in_bytes"] = os.path.getsize(in1) + os.path.getsize(in2)
+    return stats

@@ -145,6 +145,8 @@ class Params:
         d = json.loads(blob.decode())
         p = dataclasses.replace(base) if base else cls()
         for k in cls._HDR_KEYS:
+            if k not in d:  # archive from an older writer: keep the default
+                continue
             v = d[k]
             cur = getattr(p, k)
             if isinstance(cur, enum.Enum):

@@ -34,3 +34,21 @@ def test_single_chip_decoder_rejects_mesh_archive(tmp_path):
     mesh_pipeline.compress_file_mesh(p, src, arc, dp=2, tp=1)
     with pytest.raises(ValueError, match="mesh"):
         pipeline.decompress_file(Params(), arc, str(tmp_path / "x.fastq"))
+
+
+def test_mesh_pe_roundtrip(tmp_path):
+    from tests.test_pe import make_pe_pair
+
+    p1, p2 = make_pe_pair(tmp_path, n_pairs=300, read_len=64, seed=8,
+                          genome_kb=25)
+    p = small_params(dna_mode=DnaMode.PE_ORIGINAL,
+                     quality_mode=QualityMode.LOSSLESS,
+                     id_mode=IdMode.LOSSLESS)
+    p.n_lanes = 16
+    arc = str(tmp_path / "pe.fqst")
+    o1 = str(tmp_path / "o1.fastq")
+    o2 = str(tmp_path / "o2.fastq")
+    mesh_pipeline.compress_pe_mesh(p, p1, p2, arc, dp=2, tp=2)
+    mesh_pipeline.decompress_file_mesh(Params(), arc, o1, o2)
+    assert open(p1, "rb").read() == open(o1, "rb").read()
+    assert open(p2, "rb").read() == open(o2, "rb").read()
