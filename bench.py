@@ -23,12 +23,6 @@ CORPUS = "/tmp/fqtz_bench_se.fastq"
 
 
 def main() -> None:
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fqtz_jax_cache")
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-
     from fqsqueezer_tpu.params import Params, DnaMode, QualityMode, IdMode
     from fqsqueezer_tpu import pipeline
     from fqsqueezer_tpu.io import fastq

@@ -7,9 +7,12 @@ __version__ = "0.1.0"
 
 import os as _os
 
-# Persistent XLA compilation cache: batch-shape recompiles are the dominant
-# cold-start cost (~20-40s per shape on TPU). Opt out with FQTZ_NO_JAX_CACHE.
-if not _os.environ.get("FQTZ_NO_JAX_CACHE"):
+# Persistent XLA compilation cache is OPT-IN (FQTZ_JAX_CACHE=1): in this
+# environment the compile service runs on a different machine type, and
+# loading its cached CPU AOT executables on this host SEGFAULTS (machine
+# feature mismatch, e.g. +prefer-no-scatter). TPU compiles bypass the local
+# cache anyway (remote compile service).
+if _os.environ.get("FQTZ_JAX_CACHE"):
     _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fqtz_jax_cache")
     try:
         import jax as _jax

@@ -153,6 +153,10 @@ def main(argv=None) -> int:
                 p, p.file_names[0], p.out_path, dp=p.mesh_dp, tp=p.mesh_tp)
             stats.setdefault("ratio", stats["in_bytes"] / max(
                 1, stats["out_bytes"]))
+        else:
+            src = (p.file_names if len(p.file_names) > 1
+                   else p.file_names[0])
+            stats = pipeline.compress_file(p, src, p.out_path)
         if p.verbosity >= 1:
             print(f"reads: {stats['n_reads']}  in: {stats['in_bytes']}  "
                   f"out: {stats['out_bytes']}  ratio: {stats['ratio']:.3f}  "

@@ -88,6 +88,22 @@ def parse_fastq_bytes(data: np.ndarray) -> FastqData:
     return FastqData(codes=codes, quals=quals, lengths=lengths, ids=ids)
 
 
+def concat_fastq(parts: list) -> "FastqData":
+    """Concatenate parsed files (the reference compresses every input of an
+    @file_list into one archive, fqsqueezer.cpp:243-270)."""
+    parts = [d for d in parts if d.n_reads]
+    if not parts:
+        return FastqData(np.zeros((0, 0), np.uint8), np.zeros((0, 0), np.uint8),
+                         np.zeros((0,), np.int32), [])
+    L = max(d.max_len for d in parts)
+    padL = lambda a: np.pad(a, ((0, 0), (0, L - a.shape[1])))
+    codes = np.concatenate([padL(d.codes) for d in parts])
+    quals = np.concatenate([padL(d.quals) for d in parts])
+    lengths = np.concatenate([d.lengths for d in parts])
+    ids = [i for d in parts for i in d.ids]
+    return FastqData(codes=codes, quals=quals, lengths=lengths, ids=ids)
+
+
 def read_fastq(path: str, use_native: bool = True) -> FastqData:
     data = np.fromfile(path, dtype=np.uint8)
     if use_native:

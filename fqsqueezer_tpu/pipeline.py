@@ -239,7 +239,11 @@ def compress_file(p: Params, in_path: str, out_path: str,
     each group's batches are entropy-coded in REVERSE so lane states chain —
     one state block per stream per group instead of per batch."""
     if data is None:
-        data = fastq.read_fastq(in_path)
+        if isinstance(in_path, (list, tuple)):
+            data = fastq.concat_fastq([fastq.read_fastq(f) for f in in_path])
+            in_path = in_path[0]
+        else:
+            data = fastq.read_fastq(in_path)
     if p.dna_mode == DnaMode.SE_SORTED:
         order = fastq.sort_order(data.codes, data.lengths)
         data = fastq.FastqData(

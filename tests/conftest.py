@@ -25,3 +25,21 @@ try:
             xla_bridge._backend_factories.pop(_name, None)
 except Exception:
     pass
+
+
+# After dozens of big shard_map compiles in one process, the XLA CPU backend
+# can SIGSEGV/SIGABRT inside backend_compile_and_load (observed once the
+# mesh-pipeline tests joined the suite). Dropping compiled executables
+# between tests keeps the long-lived interpreter healthy.
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_between_tests():
+    yield
+    try:
+        import jax
+
+        jax.clear_caches()
+    except Exception:
+        pass
