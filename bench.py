@@ -1,12 +1,16 @@
-"""Benchmark driver: SE compression throughput on the standard corpus.
+"""Benchmark driver: SE compression + decompression throughput and ratio on
+the standard corpus.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
+the primary metric is SE compress reads/s; decode throughput and ratio ride
+along as extra fields.
 
 Baseline: the reference binary (fqs-1.1, built from /root/reference with
 `make -j`) on the identical corpus — 100k reads x 100bp sampled from a 4.6 Mbp
 genome — with `e -s -t 1 -om o -qm 8 -gs 5`: 34.8 s => 2,873 reads/s,
 3,483,765 bytes => 2.787 bits/base (measured 2026-08-16; -t 16 is slower AND
-larger on this 4-core host — see BASELINE.md).
+larger on this 4-core host — see BASELINE.md). Reference decompression of the
+same archive (`d -t 1`): 30.6 s => 3,268 reads/s (measured 2026-08-17).
 """
 from __future__ import annotations
 
@@ -17,9 +21,11 @@ import time
 
 BASELINE_READS_PER_S = 2873.0
 BASELINE_BITS_PER_BASE = 2.787
+BASELINE_DECODE_READS_PER_S = 3268.0
 N_READS = 100_000
 READ_LEN = 100
 CORPUS = "/tmp/fqtz_bench_se.fastq"
+ARCHIVE = "/tmp/fqtz_bench.fqst"
 
 
 def main() -> None:
@@ -45,10 +51,18 @@ def main() -> None:
     pipeline.compress_file(p, CORPUS, "/tmp/fqtz_bench_warm.fqst", data=data)
 
     t0 = time.time()
-    stats = pipeline.compress_file(p, CORPUS, "/tmp/fqtz_bench.fqst", data=data)
+    stats = pipeline.compress_file(p, CORPUS, ARCHIVE, data=data)
     dt = time.time() - t0
-
     reads_per_s = stats["n_reads"] / dt
+
+    # decode: warm (compile) then timed
+    pipeline.decompress_file(Params(), ARCHIVE, "/tmp/fqtz_bench_warm.fastq")
+    t0 = time.time()
+    dstats = pipeline.decompress_file(Params(), ARCHIVE,
+                                      "/tmp/fqtz_bench_out.fastq")
+    ddt = time.time() - t0
+    d_reads_per_s = dstats["n_reads"] / ddt
+
     print(json.dumps({
         "metric": "se_compress_reads_per_s",
         "value": round(reads_per_s, 1),
@@ -58,6 +72,10 @@ def main() -> None:
         "bits_per_base_vs_baseline": round(
             stats["bits_per_base"] / BASELINE_BITS_PER_BASE, 3),
         "wall_s": round(dt, 2),
+        "decode_reads_per_s": round(d_reads_per_s, 1),
+        "decode_vs_baseline": round(
+            d_reads_per_s / BASELINE_DECODE_READS_PER_S, 3),
+        "decode_wall_s": round(ddt, 2),
     }))
 
 

@@ -31,6 +31,14 @@ def model_create(n_ctx: int, n_sym: int) -> jax.Array:
     return jnp.zeros((n_ctx, n_sym), dtype=jnp.int32)
 
 
+def _rows_to_cdf(rows: jax.Array, scale_bits: int) -> jax.Array:
+    cum = jnp.cumsum(rows, axis=-1)                # [..., A]
+    total = cum[..., -1:]
+    zeros = jnp.zeros_like(cum[..., :1])
+    cum = jnp.concatenate([zeros, cum], axis=-1)   # [..., A+1]
+    return ((cum << scale_bits) // total).astype(jnp.int32)
+
+
 def model_cdf(freqs: jax.Array, ctx: jax.Array, scale_bits: int) -> jax.Array:
     """Quantized cdf rows for a batch of contexts.
 
@@ -39,12 +47,34 @@ def model_cdf(freqs: jax.Array, ctx: jax.Array, scale_bits: int) -> jax.Array:
     Returns:
       cdf: [..., A+1] int32 with cdf[...,0]=0, cdf[...,A]=2^SB, every step >= 1.
     """
-    rows = freqs[ctx] + ALPHA                      # [..., A]
-    cum = jnp.cumsum(rows, axis=-1)                # [..., A]
-    total = cum[..., -1:]
-    zeros = jnp.zeros_like(cum[..., :1])
-    cum = jnp.concatenate([zeros, cum], axis=-1)   # [..., A+1]
-    return ((cum << scale_bits) // total).astype(jnp.int32)
+    return _rows_to_cdf(freqs[ctx] + ALPHA, scale_bits)
+
+
+def local_cap(n_sym: int, scale_bits: int) -> int:
+    """Per-symbol cap on in-batch local deltas: keeps every smoothed row
+    total <= 2^scale_bits so quantized frequencies stay >= 1 (the freq>=1
+    proof needs total <= 2^SB; global rows are capped at 2^RAW_CAP_BITS)."""
+    return max(1, ((1 << scale_bits) - (1 << RAW_CAP_BITS) - 2 * n_sym)
+               // n_sym)
+
+
+def model_cdf_local(freqs: jax.Array, local: jax.Array, ctx: jax.Array,
+                    scale_bits: int) -> jax.Array:
+    """model_cdf with in-batch local deltas folded in (row-synced adaptation:
+    the TPU analog of the reference's per-symbol model updates, rc.h:120-127,
+    at read-row granularity). `local` rows are clamped at query time so the
+    quantization headroom proof still holds."""
+    cap = local_cap(freqs.shape[1], scale_bits)
+    rows = freqs[ctx] + jnp.minimum(local[ctx], cap) + ALPHA
+    return _rows_to_cdf(rows, scale_bits)
+
+
+def local_model_update(local: jax.Array, ctx, sym, valid, inc: int = 8):
+    """Scatter in-batch (ctx, sym) deltas (same learning rate as the global
+    model_update; no rescale — deltas are clamped at query time)."""
+    n_ctx = local.shape[0]
+    c = jnp.where(valid.reshape(-1), ctx.reshape(-1), n_ctx)
+    return local.at[c, sym.reshape(-1)].add(inc, mode="drop")
 
 
 def cdf_encode_lookup(cdf: jax.Array, sym: jax.Array):

@@ -44,6 +44,38 @@ def pack_counts(c4: jax.Array) -> jax.Array:
     return c4[..., 0] | (c4[..., 1] << 8) | (c4[..., 2] << 16) | (c4[..., 3] << 24)
 
 
+_M7 = jnp.uint32(0x7F7F7F7F)
+_H8 = jnp.uint32(0x80808080)
+
+
+def swar_sat_add_u8(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Per-byte saturating add of u8x4-packed uint32 words (SWAR): the packed
+    analog of `clip(unpack(a) + unpack(b), 0, 255)` without materializing 4x
+    int32 planes. Deterministic, so encoder and decoder stay in lockstep."""
+    lo7 = (a & _M7) + (b & _M7)
+    s = lo7 ^ ((a ^ b) & _H8)
+    ov = ((a & b) | ((a | b) & ~s)) & _H8       # carry out of each byte
+    return s | ((ov >> 7) * jnp.uint32(0xFF))   # saturate overflowed bytes
+
+
+def _scatter_delta_u16(n_words: int, idx, base, valid):
+    """Accumulate per-(word, base) increments into two u16x2-packed uint32
+    planes (bases 0|1 and 2|3), immune to per-batch overflow up to 65535
+    events per cell — then collapse to a saturated u8x4 delta word."""
+    b = base.astype(jnp.uint32) & 3
+    inc01 = jnp.where(b < 2, jnp.uint32(1) << ((b & 1) << 4), 0)
+    inc23 = jnp.where(b >= 2, jnp.uint32(1) << ((b & 1) << 4), 0)
+    idx = jnp.where(valid, idx, n_words)
+    zeros = jnp.zeros((n_words,), jnp.uint32)
+    d01 = zeros.at[idx].add(inc01, mode="drop")
+    d23 = zeros.at[idx].add(inc23, mode="drop")
+    c0 = jnp.minimum(d01 & 0xFFFF, 255)
+    c1 = jnp.minimum(d01 >> 16, 255)
+    c2 = jnp.minimum(d23 & 0xFFFF, 255)
+    c3 = jnp.minimum(d23 >> 16, 255)
+    return c0 | (c1 << 8) | (c2 << 16) | (c3 << 24)
+
+
 # ---------------------------------------------------------------------------
 # SIV: dense p-mer counters
 # ---------------------------------------------------------------------------
@@ -62,12 +94,12 @@ def siv_find(siv: jax.Array, ctx: jax.Array) -> jax.Array:
 
 
 def siv_update(siv: jax.Array, keys: jax.Array, valid: jax.Array) -> jax.Array:
-    """Batch-increment cells. keys: [n] int32 packed (ctx<<2|base); the
-    int32 delta plane sidesteps cross-field carries in the packed words."""
-    n_cells = siv.shape[0] * 4
-    idx = jnp.where(valid, keys, n_cells)
-    delta = jnp.zeros((n_cells,), jnp.int32).at[idx].add(1, mode="drop")
-    return pack_counts(unpack_counts(siv) + delta.reshape(siv.shape[0], 4))
+    """Batch-increment cells. keys: [n] int32 packed (ctx<<2|base). The batch
+    delta is accumulated u16-packed and folded in with one SWAR saturating
+    sweep — half the HBM of an int32 delta plane, and counts still saturate
+    at 255 (homopolymer contexts can exceed 255 events per batch)."""
+    delta = _scatter_delta_u16(siv.shape[0], keys >> 2, keys, valid)
+    return swar_sat_add_u8(siv, delta)
 
 
 # ---------------------------------------------------------------------------
@@ -116,6 +148,14 @@ def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
 
     bkt/tag may be passed precomputed (the tp-sharded path supplies local
     bucket indices after ownership masking, parallel/sharded.py).
+
+    Claim design (one round, not N): a new key picks its claim slot by
+    hash-spreading over the bucket's CURRENT empty slots (slot rank =
+    tag mod n_free), then a scatter-max of the tag resolves same-batch
+    contention deterministically (max is commutative). Distinct new keys in
+    the same bucket usually pick distinct slots, so one gather+scatter+probe
+    replaces the previous 6 claim rounds; the rare losers retry on a later
+    recurrence, like the reference's dropped inserts (ht_kmer.h:420-438).
     """
     n = lo.shape[0]
     n_buckets = tags.shape[0]
@@ -125,37 +165,79 @@ def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
     if tag is None:
         tag = kmers.hash_tag(lo, hi)
     bkt = jnp.where(valid, bkt, 0)
-    rank = jnp.arange(n, dtype=jnp.int32)
 
-    # claim rounds: one new key per bucket per round (fori_loop: one
-    # compiled body, smaller HLO than unrolling)
-    def claim_round(_, tags):
+    def claim_round(r, tags):
         row_t = tags[bkt]                           # [n, BUCKET]
         match = row_t == tag[:, None]
         found = jnp.any(match, axis=1) & valid
         empty = row_t == EMPTY
-        has_empty = jnp.any(empty, axis=1)
-        first_empty = jnp.argmax(empty, axis=1)
-        want = valid & ~found & has_empty
-        claim = jnp.full((n_buckets,), n, jnp.int32).at[
-            jnp.where(want, bkt, n_buckets)].min(rank, mode="drop")
-        winner = want & (claim[bkt] == rank)
-        return tags.at[jnp.where(winner, bkt, n_buckets), first_empty].set(
-            tag, mode="drop")
+        n_free = jnp.sum(empty.astype(jnp.int32), axis=1)
+        want = valid & ~found & (n_free > 0)
+        j = ((tag + jnp.uint32(r)) %
+             jnp.maximum(n_free, 1).astype(jnp.uint32)).astype(jnp.int32)
+        erank = jnp.cumsum(empty.astype(jnp.int32), axis=1) - 1
+        slot = jnp.argmax(empty & (erank == j[:, None]), axis=1)
+        flat_claim = jnp.where(want, bkt * BUCKET + slot, n_buckets * BUCKET)
+        return tags.reshape(-1).at[flat_claim].max(tag, mode="drop").reshape(
+            n_buckets, BUCKET)
 
-    tags = jax.lax.fori_loop(0, 6, claim_round, tags)
+    tags = jax.lax.fori_loop(0, 2, claim_round, tags)
 
-    # re-probe (winners and their duplicates now match) and scatter-add into
-    # an int32 delta plane, then one saturating repack sweep
+    # re-probe (winners and their duplicates now match); u8-packed delta +
+    # one SWAR saturating sweep (see siv_update)
     row_t2 = tags[bkt]
     match2 = row_t2 == tag[:, None]
     found2 = jnp.any(match2, axis=1) & valid
     cell2 = jnp.argmax(match2, axis=1)
-    flat = (bkt * BUCKET + cell2) * 4 + base
-    flat = jnp.where(found2, flat, n_buckets * BUCKET * 4)
-    delta = jnp.zeros((n_buckets * BUCKET * 4,), jnp.int32).at[flat].add(
-        1, mode="drop")
-    cnts = pack_counts(unpack_counts(cnts) + delta.reshape(n_buckets, BUCKET, 4))
+    flat = bkt * BUCKET + cell2
+    delta = _scatter_delta_u16(n_buckets * BUCKET, flat, base, found2)
+    cnts = swar_sat_add_u8(cnts, delta.reshape(n_buckets, BUCKET))
+    return tags, cnts
+
+
+# ---------------------------------------------------------------------------
+# LocalTable: in-batch direct-addressed (tag, counts) cells
+# ---------------------------------------------------------------------------
+# TPU analog of the reference's per-thread local k-mer tables ht_smer_local /
+# ht_bmer_local (/root/reference/fqs/dna.cpp:95-107, consulted in the find
+# cascade dna.h:218-228, cleared at each barrier sync dna.cpp:2475-2488):
+# statistics of k-mers seen SINCE the last table sync. Our sync interval is
+# the batch, so the local table covers occurrences earlier in the batch in
+# scan-step order (step t = read_in_lane * L + position), which is a valid
+# causal order for BOTH the encoder (simulating the decoder's scan, see
+# streams/dna.py dna_local_sim) and the decoder (updating per scan step).
+#
+# Cells are single-slot, claim-on-first-touch: an empty cell is claimed by the
+# first key hashing to it; concurrent same-step claimants are resolved by
+# scatter-max of the tag (commutative => deterministic); keys that find the
+# cell owned by another tag are dropped for the rest of the batch. All rules
+# are branch-free vector ops replayed identically by both sides.
+
+def local_create(log2_cells: int):
+    tags = jnp.zeros((1 << log2_cells,), jnp.uint32)
+    cnts = jnp.zeros((1 << log2_cells, 4), jnp.int32)
+    return tags, cnts
+
+
+def local_keys(lo: jax.Array, hi: jax.Array, log2_cells: int):
+    """(cell, tag) of (lo, hi) context keys."""
+    return kmers.hash_bucket(lo, hi, log2_cells), kmers.hash_tag(lo, hi)
+
+
+def local_query(tags: jax.Array, cnts: jax.Array, cell, tag, valid):
+    """[..., 4] int32 counts (zeros on miss or invalid)."""
+    hit = (tags[cell] == tag) & valid
+    return jnp.where(hit[..., None], cnts[cell], 0)
+
+
+def local_insert(tags: jax.Array, cnts: jax.Array, cell, tag, base, valid):
+    """Insert (context -> base) events; cell/tag/base/valid: [n] flat."""
+    C = tags.shape[0]
+    cur = tags[cell]
+    want = valid & (cur == EMPTY)
+    tags = tags.at[jnp.where(want, cell, C)].max(tag, mode="drop")
+    ok = valid & (tags[cell] == tag)
+    cnts = cnts.at[jnp.where(ok, cell, C), base].add(1, mode="drop")
     return tags, cnts
 
 

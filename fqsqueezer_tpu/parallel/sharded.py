@@ -134,7 +134,9 @@ def make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
             state.meta, g(m_ctx).reshape(-1), g(m_syms).reshape(-1),
             jnp.ones(g(m_ctx).size, dtype=bool))
 
-        # DNA (kcodes -> repaired effective kcodes, dna.dna_effective_kcodes)
+        # DNA (kcodes -> repaired effective kcodes, dna.dna_effective_kcodes).
+        # In-batch local statistics are per-dp-shard (each shard's decode
+        # scan covers the same read range), so they need no collectives.
         eff = dna.dna_effective_kcodes(dcfg, state.dna, codes, kcodes,
                                        lengths, be)
         ctx, sym, f, c, active = dna.dna_modeling(
@@ -219,14 +221,9 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
             state.meta, g(m_ctx).reshape(-1), g(m_syms).reshape(-1),
             jnp.ones(g(m_ctx).size, dtype=bool))
 
-        codes, _, _, _ = dna.dna_decode_batch(
+        codes, _, _, _, (eff, ctx, sym, active) = dna.dna_decode_batch(
             dcfg, state.dna, lengths, d_words, d_states, L, be,
             apply_update=False, lcp=lcp, lcp_stride=mcfg.lcp_stride)
-        kcodes = jnp.where(codes >= 4, 0, codes)
-        eff = dna.dna_effective_kcodes(dcfg, state.dna, codes, kcodes,
-                                       lengths, be)
-        ctx, sym, _, _, active = dna.dna_modeling(
-            dcfg, state.dna, codes, eff, lengths, be, lcp)
         d_state = dna.dna_collect_updates(
             dcfg, state.dna, g(codes), g(eff), g(lengths),
             g(ctx), g(sym), g(active), be)

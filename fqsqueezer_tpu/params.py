@@ -100,6 +100,8 @@ class Params:
     smer_log2_buckets: int = 20
     bmer_log2_buckets: int = 20
     pe_log2_buckets: int = 18
+    # in-batch local table cells (reference ht_*_local analog); 0 disables
+    local_log2_cells: int = 22
 
     def adjust_kmer_sizes(self) -> None:
         """Auto-pick k-mer lengths from genome size (parity: params.h:131-155)."""
@@ -131,7 +133,12 @@ class Params:
         "mesh_dp", "mesh_tp",
         "n_lanes", "max_batch_reads", "scale_bits",
         "smer_log2_buckets", "bmer_log2_buckets", "pe_log2_buckets",
+        "local_log2_cells",
     )
+
+    # decode-affecting params whose absence in an archive header means the
+    # writer predates the feature (NOT "use the current default")
+    _HDR_LEGACY = {"local_log2_cells": 0}
 
     def store_params(self) -> bytes:
         d = {}
@@ -145,7 +152,9 @@ class Params:
         d = json.loads(blob.decode())
         p = dataclasses.replace(base) if base else cls()
         for k in cls._HDR_KEYS:
-            if k not in d:  # archive from an older writer: keep the default
+            if k not in d:  # archive from an older writer
+                if k in cls._HDR_LEGACY:
+                    setattr(p, k, cls._HDR_LEGACY[k])
                 continue
             v = d[k]
             cur = getattr(p, k)

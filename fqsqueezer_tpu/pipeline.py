@@ -42,12 +42,14 @@ def make_configs(p: Params):
         siv_len=p.siv_len, smer_len=p.smer_len, bmer_len=p.bmer_len,
         prefix_len=p.prefix_len, scale_bits=p.scale_bits, n_lanes=p.n_lanes,
         smer_log2_buckets=p.smer_log2_buckets,
-        bmer_log2_buckets=p.bmer_log2_buckets)
+        bmer_log2_buckets=p.bmer_log2_buckets,
+        local_log2_cells=p.local_log2_cells)
     qmode = p.quality_mode.value
     qcfg = None
     if p.quality_mode != QualityMode.NONE:
         qcfg = quality.QualConfig(mode=qmode, qt=p.quality_thr,
-                                  scale_bits=p.scale_bits, n_lanes=p.n_lanes)
+                                  scale_bits=p.scale_bits, n_lanes=p.n_lanes,
+                                  with_local=p.local_log2_cells > 0)
     mcfg = meta.MetaConfig(
         scale_bits=p.scale_bits, n_lanes=p.n_lanes,
         with_lcp=p.dna_mode in (DnaMode.SE_SORTED, DnaMode.PE_SORTED),
@@ -97,20 +99,60 @@ def _encode_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes, kcodes,
             (d_words, d_n, d_states), (q_words, q_n, q_states), new_state)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _model_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes_u8,
-                 quals_u8, qfwd_lut, lengths, id_mat, id_lens):
+def _pack_inputs(codes_u8: np.ndarray, quals_u8, qcfg, qfwd_np):
+    """Host-side bit-packing of per-base inputs so the host->device push is
+    ~0.4-0.9 bytes/base instead of 2 (the tunnel to the chip is the scarce
+    resource): 2-bit k-codes (4/byte) + 1-bit N mask (8/byte) + quality
+    quantized host-side and packed 2 symbols/byte for sub-16-symbol modes.
+    Rows must already be padded; columns are padded to a multiple of 8."""
+    R, L = codes_u8.shape
+    L8 = -(-L // 8) * 8
+    if L8 != L:
+        codes_u8 = np.pad(codes_u8, ((0, 0), (0, L8 - L)))
+        if quals_u8 is not None:
+            quals_u8 = np.pad(quals_u8, ((0, 0), (0, L8 - L)))
+    k = np.where(codes_u8 >= 4, 0, codes_u8).astype(np.uint8)
+    kp = (k[:, 0::4] | (k[:, 1::4] << 2) | (k[:, 2::4] << 4)
+          | (k[:, 3::4] << 6))
+    nb = (codes_u8 >= 4).astype(np.uint8)
+    nm = np.zeros((R, L8 // 8), np.uint8)
+    for i in range(8):
+        nm |= nb[:, i::8] << i
+    if qcfg is None:
+        qp = np.zeros((R, 1), np.uint8)
+    elif qcfg.n_sym > 16:  # lossless: one symbol per byte
+        qp = qfwd_np[np.minimum(quals_u8, 95)].astype(np.uint8)
+    else:
+        qs = qfwd_np[np.minimum(quals_u8, 95)].astype(np.uint8)
+        qp = qs[:, 0::2] | (qs[:, 1::2] << 4)
+    return (np.ascontiguousarray(kp), np.ascontiguousarray(nm),
+            np.ascontiguousarray(qp), L8)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3), donate_argnums=(4,))
+def _model_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes_pack,
+                 nmask_pack, q_pack, lengths, id_mat, id_lens):
     """Modeling + state evolution only: returns per-stream (freq, cum) lane
     grids (uint16, kept device-resident by the caller for deferred
-    group-chained rANS emission), plus the new state. Inputs arrive as uint8
-    matrices — int32 codes / k-codes / quantized quality symbols are derived
-    on device so the host->device push stays at ~1 byte per base."""
+    group-chained rANS emission), plus the new state. Inputs arrive
+    bit-packed (_pack_inputs) and are unpacked with cheap vector ops."""
     from .ops import models as _m
     from .streams import ids as _ids
 
-    codes = codes_u8.astype(jnp.int32)
-    kcodes = jnp.where(codes >= 4, 0, codes)
-    qsyms = qfwd_lut[quals_u8.astype(jnp.int32)]
+    R = codes_pack.shape[0]
+    L = codes_pack.shape[1] * 4
+    kcodes = ((codes_pack[:, :, None] >> (2 * jnp.arange(4, dtype=jnp.uint8)))
+              & 3).astype(jnp.int32).reshape(R, L)
+    nbit = ((nmask_pack[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+            ).reshape(R, L)
+    codes = jnp.where(nbit > 0, 4, kcodes)
+    if qcfg is None:
+        qsyms = jnp.zeros((R, L), jnp.int32)
+    elif qcfg.n_sym > 16:
+        qsyms = q_pack.astype(jnp.int32)
+    else:
+        qsyms = ((q_pack[:, :, None] >> (4 * jnp.arange(2, dtype=jnp.uint8)))
+                 & 15).astype(jnp.int32).reshape(R, L)
 
     lcp = (meta.compute_lcp(codes, lengths, mcfg.n_lanes, mcfg.lcp_stride)
            if mcfg.with_lcp else None)
@@ -155,11 +197,27 @@ def _model_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes_u8,
 def _rans_grid(f, c, scale_bits, init_states):
     from .ops import rans as _r
 
-    return _r.rans_encode(f.astype(jnp.uint32), c.astype(jnp.uint32),
-                          scale_bits, init_states)
+    words, n_words, st = _r.rans_encode(
+        f.astype(jnp.uint32), c.astype(jnp.uint32), scale_bits, init_states)
+    # u16 on device: the device->host tunnel is the scarce resource
+    return words.astype(jnp.uint16), n_words, st
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _pull_words(words_u16, n: int) -> np.ndarray:
+    """Pull only a pow2-bucketed prefix of the device word buffer (the tail
+    is rANS padding): ~2x over the true size instead of the ~6x a full-cap
+    pull costs, with a bounded set of tiny slice shapes to compile."""
+    cap = words_u16.shape[0]
+    k = 1024
+    while k < n:
+        k <<= 1
+    if k >= cap:
+        return np.asarray(words_u16)
+    return np.asarray(words_u16[:k])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5),
+                   donate_argnums=(6,))
 def _decode_batch(dcfg, qcfg, mcfg, icfg, R, L, state: CodecState,
                   m_words, m_states, i_words, i_states,
                   d_words, d_states, q_words, q_states):
@@ -168,7 +226,7 @@ def _decode_batch(dcfg, qcfg, mcfg, icfg, R, L, state: CodecState,
     lengths, lcp, m_model, m_x, _ = meta.meta_decode_batch(
         mcfg, state.meta, R, m_words, m_states)
     lengths = jnp.minimum(lengths, L).astype(jnp.int32)
-    codes, d_state, d_x, _ = dna.dna_decode_batch(
+    codes, d_state, d_x, _, _ = dna.dna_decode_batch(
         dcfg, state.dna, lengths, d_words, d_states, L,
         lcp=lcp if mcfg.with_lcp else None, lcp_stride=mcfg.lcp_stride)
     if qcfg is not None:
@@ -264,11 +322,8 @@ def compress_file(p: Params, in_path: str, out_path: str,
     state = state_create(dcfg, qcfg, icfg)
     n_streams = 2 + (qcfg is not None) + (icfg is not None)
 
-    if qcfg is not None:
-        qfwd, _ = quality.qual_maps(qcfg.mode, qcfg.qt)
-        qfwd_lut = jnp.asarray(qfwd)
-    else:
-        qfwd_lut = jnp.zeros((96,), jnp.int32)
+    qfwd_np = (quality.qual_maps(qcfg.mode, qcfg.qt)[0]
+               if qcfg is not None else None)
 
     writer = archive.ArchiveWriter(out_path, p.store_params())
     R_total = data.n_reads
@@ -285,7 +340,9 @@ def compress_file(p: Params, in_path: str, out_path: str,
         nonlocal group_fc, group_meta, group_bytes, group_idx, group_crc
         if not group_meta:
             return
-        per_batch_words = [[None] * n_streams for _ in group_meta]
+        # schedule every stream's reverse rANS chain on device first (async
+        # dispatch overlaps them), then pull counts and trimmed buffers
+        per_batch_dev = [[None] * n_streams for _ in group_meta]
         states_out = []
         for si in range(n_streams):
             st = None
@@ -294,10 +351,17 @@ def compress_file(p: Params, in_path: str, out_path: str,
                 if st is None:
                     st = jnp.full((p.n_lanes,), 1 << 16, jnp.uint32)
                 words, n_words, st = _rans_grid(f16, c16, p.scale_bits, st)
-                per_batch_words[k][si] = (np.asarray(words), int(n_words))
-            states_out.append(np.asarray(st))
-            stream_bytes[skeys[si]] += sum(
-                2 * per_batch_words[k][si][1] for k in range(len(group_meta)))
+                per_batch_dev[k][si] = (words, n_words)
+            states_out.append(st)
+        states_out = [np.asarray(st) for st in states_out]
+        ns = jax.device_get([d[1] for row in per_batch_dev for d in row])
+        per_batch_words = [[None] * n_streams for _ in group_meta]
+        for k in range(len(group_meta)):
+            for si in range(n_streams):
+                n = int(ns[k * n_streams + si])
+                per_batch_words[k][si] = (
+                    _pull_words(per_batch_dev[k][si][0], n), n)
+                stream_bytes[skeys[si]] += 2 * n
         stream_bytes["states"] += 4 * p.n_lanes * n_streams
         writer.write_group(
             states_out,
@@ -321,7 +385,8 @@ def compress_file(p: Params, in_path: str, out_path: str,
             align=2 * p.n_lanes if is_pe else p.n_lanes):
         codes_u8 = _pad_batch(data.codes[start:start + take], padded)
         lengths = _pad_batch(data.lengths[start:start + take], padded).astype(np.int32)
-        quals_u8 = _pad_batch(data.quals[start:start + take], padded)             if qcfg is not None else np.zeros_like(codes_u8)
+        quals_u8 = (_pad_batch(data.quals[start:start + take], padded)
+                    if qcfg is not None else None)
         if icfg is not None:
             id_mat = _pad_batch(id_mat_all[start:start + take], padded)
             id_lens = _pad_batch(id_lens_all[start:start + take], padded)
@@ -329,14 +394,18 @@ def compress_file(p: Params, in_path: str, out_path: str,
             id_mat = np.zeros((padded, 1), np.uint8)
             id_lens = np.zeros((padded,), np.int32)
 
-        group_crc = payload_crc(group_crc, codes_u8[:take], lengths[:take])
+        kp, nm, qp, L8 = _pack_inputs(codes_u8, quals_u8, qcfg, qfwd_np)
+        # crc over the L8-padded width: the decoder reconstructs (and
+        # zero-masks) exactly this shape
+        crc_codes = (codes_u8 if codes_u8.shape[1] == L8 else
+                     np.pad(codes_u8, ((0, 0), (0, L8 - codes_u8.shape[1]))))
+        group_crc = payload_crc(group_crc, crc_codes[:take], lengths[:take])
         grids, state = _model_batch(
             dcfg, qcfg, mcfg, icfg, state,
-            jnp.asarray(np.ascontiguousarray(codes_u8)),
-            jnp.asarray(np.ascontiguousarray(quals_u8)), qfwd_lut,
+            jnp.asarray(kp), jnp.asarray(nm), jnp.asarray(qp),
             jnp.asarray(lengths), jnp.asarray(id_mat), jnp.asarray(id_lens))
         group_fc.append(grids)   # device-resident uint16 grids
-        group_meta.append((take, codes_u8.shape[1]))
+        group_meta.append((take, L8))
         group_bytes += sum(f.size * 2 + c.size * 2 for f, c in grids)
         if group_bytes >= group_mem_bytes:
             flush_group()

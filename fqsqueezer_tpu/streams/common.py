@@ -27,9 +27,32 @@ def from_grid(y: jax.Array, n_lanes: int, L: int) -> jax.Array:
     return y.reshape(r_pl, L, N).transpose(2, 0, 1).reshape(N * r_pl, L)
 
 
+def from_grid_vec(y: jax.Array, n_lanes: int, L: int) -> jax.Array:
+    """[T, N, D] -> [R, L, D] (vector-valued per-position outputs)."""
+    T, N, D = y.shape
+    r_pl = T // L
+    return y.reshape(r_pl, L, N, D).transpose(2, 0, 1, 3).reshape(
+        N * r_pl, L, D)
+
+
 def to_read_grid(x: jax.Array, n_lanes: int) -> jax.Array:
     """[R] per-read values -> [N, r_pl] (lane-major)."""
     return x.reshape(n_lanes, -1)
+
+
+def to_row_blocks(x: jax.Array, n_lanes: int) -> jax.Array:
+    """[R, L, ...] -> [r_pl, N, L, ...]: row rd holds read rd of every lane
+    (read r = lane * r_pl + rd). Rows are the in-batch sync granularity of
+    the local statistics (see streams/dna.py)."""
+    R, L = x.shape[:2]
+    r_pl = R // n_lanes
+    return x.reshape((n_lanes, r_pl, L) + x.shape[2:]).swapaxes(0, 1)
+
+
+def from_row_blocks(y: jax.Array) -> jax.Array:
+    """[r_pl, N, L, ...] -> [R, L, ...]."""
+    r_pl, N, L = y.shape[:3]
+    return y.swapaxes(0, 1).reshape((N * r_pl, L) + y.shape[3:])
 
 
 def pad_reads(n: int, n_lanes: int) -> int:

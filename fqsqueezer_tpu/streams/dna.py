@@ -75,6 +75,9 @@ class DnaConfig:
     n_lanes: int = 1024
     smer_log2_buckets: int = 20
     bmer_log2_buckets: int = 20
+    # in-batch local s/b-mer tables (reference ht_*_local, dna.cpp:95-107);
+    # 0 disables. See ops/tables.py local_* and dna_local_sim below.
+    local_log2_cells: int = 22
 
 
 class DnaState(NamedTuple):
@@ -119,20 +122,21 @@ def _pos_bucket(i, length):
     return pb
 
 
-def _lookup_counts(state: DnaState, pm_ctx, s_lo, s_hi, b_lo, b_hi, vp, vs, vb,
+def _cascade_parts(state: DnaState, pm_ctx, s_lo, s_hi, b_lo, b_hi, vp, vs, vb,
                    be=tables.LOCAL):
-    """Count cascade (reference find_counts, dna.cpp:457-502).
-    Returns (counts [..., 4] int32, level [...] int32)."""
+    """Raw per-level finds of the count cascade (reference find_counts,
+    dna.cpp:457-502). Returns (cp, cs, cb [..., 4] int32, fp, fs, fb bool)."""
     cp = be.siv_find(state.siv, pm_ctx)
     cs, fs = be.table_find(state.s_tags, state.s_cnts, s_lo, s_hi)
     cb, fb = be.table_find(state.b_tags, state.b_cnts, b_lo, b_hi)
     fp = vp & (jnp.sum(cp, axis=-1) > 0)
-    fs = fs & vs
-    fb = fb & vb
+    return cp, cs, cb, fp, fs & vs, fb & vb
 
+
+def _cascade_combine(cp, cs, cb, fp, fs, fb):
+    """Collapse per-level finds into (counts [..., 4], level [...])."""
     nzb = jnp.sum((cb > 0).astype(jnp.int32), axis=-1)
     mixed = fb & (nzb > 1)
-
     counts = jnp.where(
         fb[..., None], cb + jnp.where(mixed[..., None], cs, 0),
         jnp.where(fs[..., None], cs, jnp.where(fp[..., None], cp, 0)))
@@ -140,6 +144,26 @@ def _lookup_counts(state: DnaState, pm_ctx, s_lo, s_hi, b_lo, b_hi, vp, vs, vb,
         fb, jnp.where(mixed, LEVEL_MIXED, LEVEL_BMER),
         jnp.where(fs, LEVEL_SMER, jnp.where(fp, LEVEL_PMER, LEVEL_NONE)))
     return counts, level
+
+
+def _merge_local(parts, cs_l, cb_l):
+    """Fold in-batch local s/b counts into the cascade parts (the reference
+    consults ht_*_local alongside the globals in the find cascade,
+    dna.h:218-228): counts add, found-ness ORs."""
+    cp, cs, cb, fp, fs, fb = parts
+    if cs_l is None:
+        return parts
+    fs = fs | (jnp.sum(cs_l, axis=-1) > 0)
+    fb = fb | (jnp.sum(cb_l, axis=-1) > 0)
+    return cp, cs + cs_l, cb + cb_l, fp, fs, fb
+
+
+def _lookup_counts(state: DnaState, pm_ctx, s_lo, s_hi, b_lo, b_hi, vp, vs, vb,
+                   be=tables.LOCAL, cs_l=None, cb_l=None):
+    """Count cascade with optional local-table merge.
+    Returns (counts [..., 4] int32, level [...] int32)."""
+    parts = _cascade_parts(state, pm_ctx, s_lo, s_hi, b_lo, b_hi, vp, vs, vb, be)
+    return _cascade_combine(*_merge_local(parts, cs_l, cb_l))
 
 
 def _rank_all(counts):
@@ -210,9 +234,9 @@ def _repair_trigger(counts, level, base):
     return trig, best
 
 
-def _window_lookup(cfg, state, kcodes, lengths, be=tables.LOCAL):
-    """Pack all three window widths over kcodes and run the count cascade.
-    Returns (counts [R, L, 4], level [R, L], active)."""
+def _window_parts(cfg, state, kcodes, lengths, be=tables.LOCAL):
+    """Pack all three window widths over kcodes and run the GLOBAL cascade
+    finds. Returns ((cp, cs, cb, fp, fs, fb), active) — all [R, L(,4)]."""
     R, L = kcodes.shape
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     active = pos < lengths[:, None]
@@ -226,10 +250,87 @@ def _window_lookup(cfg, state, kcodes, lengths, be=tables.LOCAL):
     vp = pos >= cfg.siv_len - 1
     vs = pos >= cfg.smer_len - 1
     vb = pos >= cfg.bmer_len - 1
-    counts, level = _lookup_counts(
+    parts = _cascade_parts(
         state, (pm & jnp.uint32(4 ** (cfg.siv_len - 1) - 1)).astype(jnp.int32),
         s_lo, s_hi, b_lo, b_hi, vp, vs, vb, be)
+    return parts, active
+
+
+def _window_lookup(cfg, state, kcodes, lengths, be=tables.LOCAL):
+    """Global-only cascade over a whole batch.
+    Returns (counts [R, L, 4], level [R, L], active)."""
+    parts, active = _window_parts(cfg, state, kcodes, lengths, be)
+    counts, level = _cascade_combine(*parts)
     return counts, level, active
+
+
+# ---------------------------------------------------------------------------
+# in-batch local statistics, row-synced
+# ---------------------------------------------------------------------------
+# TPU re-derivation of the reference's per-thread local k-mer tables
+# (ht_*_local, dna.cpp:95-107, consulted in the cascade dna.h:218-228) AND of
+# its per-symbol adaptive model updates (rc.h:120-127): within a batch, local
+# k-mer tables and local MODEL deltas are updated once per read row (row rd =
+# read rd of every lane, processed in lockstep). A position in row rd sees
+# the statistics of all rows < rd — a causal order both sides replay exactly:
+# the encoder as a short scan over r_pl wide row blocks, the decoder by
+# freezing the local state during each row's decode scan and applying the
+# row's events vectorized at the row boundary. Compared to per-scan-step
+# locality this only forgoes same-row sharing (1/r_pl of pairs) and
+# within-read self-repeats, and it keeps every op [N*L]-wide.
+
+def _row_query_keys(cfg, eff_row, len_row, k):
+    """(cell, tag, valid) of the width-(k-1) QUERY context at each position
+    of a row block: the window ending one base left (predicts this base)."""
+    L = eff_row.shape[1]
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    lo, hi = kmers.pack_windows(eff_row, k - 1)
+    lo, hi = kmers.shift_right(lo, 1), kmers.shift_right(hi, 1)
+    cell, tag = tables.local_keys(lo, hi, cfg.local_log2_cells)
+    valid = (pos >= k - 1) & (pos < len_row[:, None])
+    return cell, tag, valid
+
+
+def local_row_update(cfg, ls, lb, lm, eff_row, ctx_row, sym_row, act_row,
+                     len_row):
+    """Apply one read row's events to the in-batch local state — shared
+    VERBATIM by encoder (dna_modeling row scan) and decoder (row boundary in
+    dna_decode_batch), so both sides' local statistics are bit-identical.
+
+    k-mer events: forward (ctx ending at i-1 -> base i) and reverse
+    complement (rc of the k-mer ending at i), both strands like the global
+    updates. Model events: (ctx, coded symbol) at coded positions."""
+    m = cfg.local_log2_cells
+    L = eff_row.shape[1]
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_len = pos < len_row[:, None]
+
+    def upd(tbl, k):
+        w = k - 1
+        lo, hi = kmers.pack_windows(eff_row, w)
+        lo, hi = kmers.shift_right(lo, 1), kmers.shift_right(hi, 1)
+        cf, tf = tables.local_keys(lo, hi, m)
+        rlo, rhi = kmers.pack_windows_rc(eff_row, w)
+        cr, tr = tables.local_keys(rlo, rhi, m)
+        br = 3 - kmers.shift_right(eff_row, k - 1)
+        v = ((pos >= k - 1) & in_len).reshape(-1)
+        return tables.local_insert(
+            tbl[0], tbl[1],
+            jnp.concatenate([cf.reshape(-1), cr.reshape(-1)]),
+            jnp.concatenate([tf.reshape(-1), tr.reshape(-1)]),
+            jnp.concatenate([eff_row.reshape(-1), br.reshape(-1)]),
+            jnp.concatenate([v, v]))
+
+    ls = upd(ls, cfg.smer_len)
+    lb = upd(lb, cfg.bmer_len)
+    lm = models.local_model_update(lm, ctx_row, sym_row, act_row)
+    return ls, lb, lm
+
+
+def _local_state_create(cfg):
+    return (tables.local_create(cfg.local_log2_cells),
+            tables.local_create(cfg.local_log2_cells),
+            jnp.zeros((N_MODEL_CTX, A_SYM), jnp.int32))
 
 
 def dna_effective_kcodes(cfg, state, codes, kcodes, lengths, be=tables.LOCAL):
@@ -267,6 +368,30 @@ def dna_effective_kcodes(cfg, state, codes, kcodes, lengths, be=tables.LOCAL):
 # encoder: fully-parallel modeling over the batch
 # ---------------------------------------------------------------------------
 
+def _ctx_sym_from_counts(cfg, counts, level, codes_blk, code_active_blk,
+                         pb_blk, let_blk, pos_row):
+    """Shared modeling math from merged counts to (ctx, sym): rank the coded
+    base, build rank-history and the packed context. Works on any [.., L]
+    block ([R, L] whole batch or [N, L] row)."""
+    ranks = _rank_of(counts, codes_blk)
+    use_code = (pos_row >= cfg.prefix_len) & (level > LEVEL_NONE)
+    rbit = (use_code & code_active_blk & (ranks > 0)).astype(jnp.int32)
+    nz_hist = sum(kmers.shift_right(rbit, d) for d in (1, 2, 3, 4))
+    code_ctx = _code_ctx(level, counts, pb_blk, nz_hist)
+    ctx_all = jnp.where(use_code, code_ctx, (1 << CODE_CTX_BITS) + let_blk)
+    sym_enc = jnp.where(use_code, ranks, codes_blk)
+    return ctx_all, sym_enc
+
+
+def _letters_plane(codes, pos, pb):
+    lh = jnp.zeros_like(codes)
+    for d in (5, 4, 3, 2, 1):
+        sym_d = jnp.where(pos - d >= 0, kmers.shift_right(codes, d),
+                          LET_SENTINEL)
+        lh = (lh << 3) | sym_d
+    return lh | (pb << 15)
+
+
 def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
                  be=tables.LOCAL, lcp=None):
     """Compute per-position (ctx, coded symbol, freq, cum) for a whole batch.
@@ -274,6 +399,13 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
     codes/kcodes: [R, L] int32; lengths: [R] int32. lcp (sorted mode): [R]
     shared-prefix lengths — positions < lcp are copied from the previous
     read in the lane and cost zero bits (masked rANS no-ops).
+
+    With local statistics enabled (cfg.local_log2_cells > 0), runs a short
+    scan over the r_pl read rows: each row is modeled fully vectorized
+    against the batch-frozen global state PLUS the in-batch local k-mer
+    tables and model deltas of all earlier rows, then contributes its own
+    events (local_row_update) — exactly the order the decoder replays.
+
     Returns (ctx_all, sym_enc, freq, cum, code_active): all [R, L].
     """
     R, L = codes.shape
@@ -281,32 +413,49 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
     lens = lengths[:, None]
     active = pos < lens
     code_active = active if lcp is None else active & (pos >= lcp[:, None])
-
-    counts, level, _ = _window_lookup(cfg, state, kcodes, lengths, be)
-
-    ranks = _rank_of(counts, codes)
-    use_code = (pos >= cfg.prefix_len) & (level > LEVEL_NONE)
-
-    rbit = (use_code & code_active & (ranks > 0)).astype(jnp.int32)
-    nz_hist = sum(kmers.shift_right(rbit, d) for d in (1, 2, 3, 4))
-
     pb = _pos_bucket(pos, lens)
-    code_ctx = _code_ctx(level, counts, pb, nz_hist)
+    let_ctx = _letters_plane(codes, pos, pb)
 
-    lh = jnp.zeros_like(codes)
-    for d in (5, 4, 3, 2, 1):
-        sym_d = jnp.where(pos - d >= 0, kmers.shift_right(codes, d), LET_SENTINEL)
-        lh = (lh << 3) | sym_d
-    let_ctx = lh | (pb << 15)
+    parts, _ = _window_parts(cfg, state, kcodes, lengths, be)
 
-    ctx_all = jnp.where(use_code, code_ctx, (1 << CODE_CTX_BITS) + let_ctx)
-    sym_enc = jnp.where(use_code, ranks, codes)
+    if cfg.local_log2_cells <= 0:
+        counts, level = _cascade_combine(*parts)
+        ctx_all, sym_enc = _ctx_sym_from_counts(
+            cfg, counts, level, codes, code_active, pb, let_ctx, pos)
+        cdf = models.model_cdf(state.model, ctx_all, cfg.scale_bits)
+        f, c = models.cdf_encode_lookup(cdf, sym_enc)
+        f = jnp.where(code_active, f, 1 << cfg.scale_bits)
+        c = jnp.where(code_active, c, 0)
+        return ctx_all, sym_enc, f, c, code_active
 
-    cdf = models.model_cdf(state.model, ctx_all, cfg.scale_bits)
-    f, c = models.cdf_encode_lookup(cdf, sym_enc)
-    f = jnp.where(code_active, f, 1 << cfg.scale_bits)
-    c = jnp.where(code_active, c, 0)
-    return ctx_all, sym_enc, f, c, code_active
+    N = cfg.n_lanes
+    rb = partial(common.to_row_blocks, n_lanes=N)
+    len_rows = common.to_read_grid(lengths, N).T          # [r_pl, N]
+    xs = (rb(codes), rb(kcodes), tuple(rb(p) for p in parts),
+          rb(code_active), rb(pb), rb(let_ctx), len_rows)
+
+    def row_step(carry, x):
+        ls, lb, lm = carry
+        codes_r, eff_r, parts_r, cact_r, pb_r, let_r, len_r = x
+        s_cell, s_tag, s_v = _row_query_keys(cfg, eff_r, len_r, cfg.smer_len)
+        b_cell, b_tag, b_v = _row_query_keys(cfg, eff_r, len_r, cfg.bmer_len)
+        cs_l = tables.local_query(ls[0], ls[1], s_cell, s_tag, s_v)
+        cb_l = tables.local_query(lb[0], lb[1], b_cell, b_tag, b_v)
+        counts, level = _cascade_combine(*_merge_local(parts_r, cs_l, cb_l))
+        ctx_r, sym_r = _ctx_sym_from_counts(
+            cfg, counts, level, codes_r, cact_r, pb_r, let_r, pos)
+        cdf = models.model_cdf_local(state.model, lm, ctx_r, cfg.scale_bits)
+        f, c = models.cdf_encode_lookup(cdf, sym_r)
+        f = jnp.where(cact_r, f, 1 << cfg.scale_bits)
+        c = jnp.where(cact_r, c, 0)
+        ls, lb, lm = local_row_update(cfg, ls, lb, lm, eff_r, ctx_r, sym_r,
+                                      cact_r, len_r)
+        return (ls, lb, lm), (ctx_r, sym_r, f, c)
+
+    _, (ctx_b, sym_b, f_b, c_b) = jax.lax.scan(
+        row_step, _local_state_create(cfg), xs)
+    fb = common.from_row_blocks
+    return fb(ctx_b), fb(sym_b), fb(f_b), fb(c_b), code_active
 
 
 # ---------------------------------------------------------------------------
@@ -394,16 +543,28 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
     lcp (sorted mode): [R] — positions < lcp are copied from the previous
     read in the lane instead of entropy-decoded.
 
-    Returns (codes [R, L] int32, new_state, final_states, n_words_consumed).
+    Structure: an outer scan over the r_pl read rows, an inner scan over the
+    L positions of the row. The in-batch local state (k-mer tables + model
+    deltas) is FROZEN during a row's inner scan and the row's events are
+    applied vectorized at the boundary (local_row_update — the identical
+    function the encoder's dna_modeling row scan uses), so both sides see
+    bit-identical local statistics.
+
+    Returns (codes [R, L] int32, new_state, final_states, n_words_consumed,
+    extras) where extras = (eff, ctx_all, sym, code_active) — everything a
+    caller needs to apply table/model updates without re-deriving contexts
+    (the encoder's modeling pass is not repeated on the decode side).
     """
     N = cfg.n_lanes
     R = lengths.shape[0]
     r_pl = R // N
     lengths_grid = common.to_read_grid(lengths, N)  # [N, r_pl]
     with_lcp = lcp is not None
+    with_local = cfg.local_log2_cells > 0
     lcp_grid = common.to_read_grid(lcp, N) if with_lcp else None
-    T = r_pl * L
     sb = cfg.scale_bits
+    m = cfg.local_log2_cells
+    pos_row = jnp.arange(L, dtype=jnp.int32)[None, :]
 
     pm_mask = jnp.uint32(4 ** (cfg.siv_len - 1) - 1)
     s_w = cfg.smer_len - 1
@@ -418,94 +579,129 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
     s_mlo, s_mhi = key_mask(s_w)
     b_mlo, b_mhi = key_mask(b_w)
 
-    def step(carry, t):
-        (x, ptr, pkey, slo, shi, blo, bhi, lh, rh, rep_cnt, prev2_row,
-         prev_row, cur_row) = carry
-        rd = t // L
-        i = t % L
-        length = jax.lax.dynamic_index_in_dim(lengths_grid, rd, axis=1, keepdims=False)
-        active = i < length
+    def outer(carry, rd):
+        (x, ptr, pkey, slo, shi, blo, bhi, prev2_row, prev_row, loc) = carry
+        length = jax.lax.dynamic_index_in_dim(lengths_grid, rd, axis=1,
+                                              keepdims=False)
         if with_lcp:
             my_lcp = jax.lax.dynamic_index_in_dim(lcp_grid, rd, axis=1,
                                                   keepdims=False)
-            in_prefix = active & (i < my_lcp)
-            prev2_row, prev_row, cur_row = jax.lax.cond(
-                i == 0,
-                lambda: (prev_row, cur_row, jnp.zeros_like(cur_row)),
-                lambda: (prev2_row, prev_row, cur_row))
             src_row = prev2_row if lcp_stride == 2 else prev_row
-            prefix_base = jax.lax.dynamic_index_in_dim(src_row, i, axis=1,
-                                                       keepdims=False)
         else:
-            in_prefix = jnp.zeros_like(active)
-            prefix_base = jnp.zeros((x.shape[0],), jnp.int32)
+            my_lcp = jnp.zeros((N,), jnp.int32)
+            src_row = jnp.zeros((N, 1), jnp.int32)
 
-        at_start = i == 0
-        lh = jnp.where(at_start, LH_RESET, lh)
-        rh = jnp.where(at_start, 0, rh)
-        rep_cnt = jnp.where(at_start, 0, rep_cnt)
+        def inner(c2, i):
+            (x, ptr, pkey, slo, shi, blo, bhi, lh, rh, rep_cnt) = c2
+            active = i < length
+            in_prefix = active & (i < my_lcp) if with_lcp \
+                else jnp.zeros_like(active)
+            prefix_base = (jax.lax.dynamic_index_in_dim(
+                src_row, i, axis=1, keepdims=False) if with_lcp
+                else jnp.zeros((N,), jnp.int32))
 
-        vp = (i >= cfg.siv_len - 1) & active
-        vs = (i >= s_w) & active
-        vb = (i >= b_w) & active
-        counts, level = _lookup_counts(
-            state, (pkey & pm_mask).astype(jnp.int32),
-            slo & s_mlo, shi & s_mhi, blo & b_mlo, bhi & b_mhi,
-            jnp.broadcast_to(vp, x.shape), jnp.broadcast_to(vs, x.shape),
-            jnp.broadcast_to(vb, x.shape), be)
+            vp = jnp.broadcast_to((i >= cfg.siv_len - 1) & active, x.shape)
+            vs = jnp.broadcast_to((i >= s_w) & active, x.shape)
+            vb = jnp.broadcast_to((i >= b_w) & active, x.shape)
+            s_ctx = (slo & s_mlo, shi & s_mhi)
+            b_ctx = (blo & b_mlo, bhi & b_mhi)
+            parts = _cascade_parts(
+                state, (pkey & pm_mask).astype(jnp.int32),
+                s_ctx[0], s_ctx[1], b_ctx[0], b_ctx[1], vp, vs, vb, be)
+            counts_g, level_g = _cascade_combine(*parts)
+            if with_local:
+                ls, lb, lm = loc
+                s_cell, s_tag = tables.local_keys(s_ctx[0], s_ctx[1], m)
+                b_cell, b_tag = tables.local_keys(b_ctx[0], b_ctx[1], m)
+                cs_l = tables.local_query(ls[0], ls[1], s_cell, s_tag, vs)
+                cb_l = tables.local_query(lb[0], lb[1], b_cell, b_tag, vb)
+                counts, level = _cascade_combine(
+                    *_merge_local(parts, cs_l, cb_l))
+            else:
+                counts, level = counts_g, level_g
 
-        use_code = (i >= cfg.prefix_len) & (level > LEVEL_NONE)
-        pb = _pos_bucket(jnp.full_like(level, i), jnp.broadcast_to(length, level.shape))
-        nz = _popcount4(rh)
-        code_ctx = _code_ctx(level, counts, pb, nz)
-        let_ctx = (lh & LH_MASK) | (pb << 15)
-        ctx_all = jnp.where(use_code, code_ctx, (1 << CODE_CTX_BITS) + let_ctx)
+            use_code = (i >= cfg.prefix_len) & (level > LEVEL_NONE)
+            pb = _pos_bucket(jnp.full_like(level, i),
+                             jnp.broadcast_to(length, level.shape))
+            nz = _popcount4(rh)
+            code_ctx = _code_ctx(level, counts, pb, nz)
+            let_ctx = (lh & LH_MASK) | (pb << 15)
+            ctx_all = jnp.where(use_code, code_ctx,
+                                (1 << CODE_CTX_BITS) + let_ctx)
 
-        cdf = models.model_cdf(state.model, ctx_all, sb)
-        slot = rans.rans_decode_slots(x, sb)
-        sym, f, c = rans.cdf_lookup(cdf, slot)
-        coded = active & ~in_prefix
-        f = jnp.where(coded, f, 1 << sb)
-        c = jnp.where(coded, c, 0)
-        x, ptr = rans.rans_decode_advance(x, ptr, words, f, c, sb)
+            if with_local:
+                cdf = models.model_cdf_local(state.model, loc[2], ctx_all, sb)
+            else:
+                cdf = models.model_cdf(state.model, ctx_all, sb)
+            slot = rans.rans_decode_slots(x, sb)
+            sym, f, c = rans.cdf_lookup(cdf, slot)
+            coded = active & ~in_prefix
+            f = jnp.where(coded, f, 1 << sb)
+            c = jnp.where(coded, c, 0)
+            x, ptr = rans.rans_decode_advance(x, ptr, words, f, c, sb)
 
-        base = jnp.where(use_code, _base_of_rank(counts, sym), sym)
-        base = jnp.where(in_prefix, prefix_base, base)
-        base = jnp.where(active, base, 0)
-        trig, best = _repair_trigger(counts, level, base)
-        do_rep = trig & active & (rep_cnt < MAX_REPAIRS)
-        rep_cnt = rep_cnt + do_rep.astype(jnp.int32)
-        kc = jnp.where(base >= 4, 0, base)
-        kc = jnp.where(do_rep, best, kc).astype(jnp.uint32)
+            base = jnp.where(use_code, _base_of_rank(counts, sym), sym)
+            base = jnp.where(in_prefix, prefix_base, base)
+            base = jnp.where(active, base, 0)
+            # repair triggers on GLOBAL counts only (the encoder's
+            # dna_effective_kcodes runs before any local statistics)
+            trig, best = _repair_trigger(counts_g, level_g, base)
+            do_rep = trig & active & (rep_cnt < MAX_REPAIRS)
+            rep_cnt = rep_cnt + do_rep.astype(jnp.int32)
+            kc = jnp.where(base >= 4, 0, base)
+            kc = jnp.where(do_rep, best, kc).astype(jnp.uint32)
 
-        pkey = ((pkey << 2) | kc) & pm_mask
-        shi = ((shi << 2) | (slo >> 30)) & s_mhi
-        slo = ((slo << 2) | kc) & s_mlo
-        bhi = ((bhi << 2) | (blo >> 30)) & b_mhi
-        blo = ((blo << 2) | kc) & b_mlo
-        lh = ((lh << 3) | base) & LH_MASK
-        rbit = (use_code & (sym > 0) & coded).astype(jnp.int32)
-        rh = ((rh << 1) | rbit) & 0xF
-        if with_lcp:
-            cur_row = jax.lax.dynamic_update_index_in_dim(cur_row, base, i,
-                                                          axis=1)
+            pkey = ((pkey << 2) | kc) & pm_mask
+            shi = ((shi << 2) | (slo >> 30)) & s_mhi
+            slo = ((slo << 2) | kc) & s_mlo
+            bhi = ((bhi << 2) | (blo >> 30)) & b_mhi
+            blo = ((blo << 2) | kc) & b_mlo
+            lh = ((lh << 3) | base) & LH_MASK
+            rbit = (use_code & (sym > 0) & coded).astype(jnp.int32)
+            rh = ((rh << 1) | rbit) & 0xF
 
-        return (x, ptr, pkey, slo, shi, blo, bhi, lh, rh, rep_cnt,
-                prev2_row, prev_row, cur_row), base
+            ys = (base, kc.astype(jnp.int32), ctx_all, sym)
+            return (x, ptr, pkey, slo, shi, blo, bhi, lh, rh, rep_cnt), ys
+
+        zeros_i = jnp.zeros((N,), jnp.int32)
+        inner0 = (x, ptr, pkey, slo, shi, blo, bhi,
+                  jnp.full((N,), LH_RESET, jnp.int32), zeros_i, zeros_i)
+        (x, ptr, pkey, slo, shi, blo, bhi, _, _, _), ys = jax.lax.scan(
+            inner, inner0, jnp.arange(L, dtype=jnp.int32))
+        base_r = ys[0].T                       # [L, N] -> [N, L]
+        eff_r = ys[1].T
+        ctx_r = ys[2].T
+        sym_r = ys[3].T
+        if with_local:
+            act_r = pos_row < length[:, None]
+            if with_lcp:
+                act_r = act_r & (pos_row >= my_lcp[:, None])
+            loc = local_row_update(cfg, loc[0], loc[1], loc[2], eff_r, ctx_r,
+                                   sym_r, act_r, length)
+        prev2_row, prev_row = prev_row, base_r if with_lcp else prev_row
+        return (x, ptr, pkey, slo, shi, blo, bhi, prev2_row, prev_row,
+                loc), (base_r, eff_r, ctx_r, sym_r)
 
     zeros_u = jnp.zeros((N,), jnp.uint32)
-    zeros_i = jnp.zeros((N,), jnp.int32)
     row0 = (jnp.zeros((N, L), jnp.int32) if with_lcp
             else jnp.zeros((N, 1), jnp.int32))
+    loc0 = _local_state_create(cfg) if with_local else ()
     carry0 = (init_states, jnp.int32(0), zeros_u, zeros_u, zeros_u,
-              zeros_u, zeros_u, zeros_i, zeros_i, zeros_i, row0, row0, row0)
-    carry, ys = jax.lax.scan(step, carry0, jnp.arange(T, dtype=jnp.int32))
+              zeros_u, zeros_u, row0, row0, loc0)
+    carry, ys = jax.lax.scan(outer, carry0, jnp.arange(r_pl, dtype=jnp.int32))
     x, ptr = carry[0], carry[1]
 
-    codes = common.from_grid(ys, N, L)
-    kcodes = jnp.where(codes >= 4, 0, codes)
+    codes = common.from_row_blocks(ys[0])
+    eff = common.from_row_blocks(ys[1])
+    ctx_all = common.from_row_blocks(ys[2])
+    sym = common.from_row_blocks(ys[3])
+    code_active = pos_row < lengths[:, None]
+    if with_lcp:
+        code_active = code_active & (pos_row >= lcp[:, None])
+    extras = (eff, ctx_all, sym, code_active)
     if apply_update:
-        new_state = dna_apply_batch(cfg, state, codes, kcodes, lengths, be, lcp)
+        new_state = dna_collect_updates(cfg, state, codes, eff, lengths,
+                                        ctx_all, sym, code_active, be)
     else:
         new_state = state
-    return codes, new_state, x, ptr
+    return codes, new_state, x, ptr, extras

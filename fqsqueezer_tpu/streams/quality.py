@@ -67,6 +67,9 @@ class QualConfig:
     qt: int = 20
     scale_bits: int = 14
     n_lanes: int = 1024
+    # row-synced in-batch model deltas (see streams/dna.py): the quality
+    # model adapts within the batch at read-row granularity
+    with_local: bool = True
 
     @property
     def n_sym(self) -> int:
@@ -98,16 +101,12 @@ def _pos_bucket(i):
     return jnp.minimum(jnp.where(i < 8, i, 8 + (i - 8) // 24), 15)
 
 
-def qual_modeling(cfg: QualConfig, model: jax.Array, qsyms: jax.Array,
-                  lengths: jax.Array):
-    """qsyms: [R, L] int32 quantized symbols. Returns (ctx, f, c, active)."""
-    R, L = qsyms.shape
+def qual_ctx_plane(cfg: QualConfig, qsyms: jax.Array):
+    """Packed (history, position-bucket) context of every position — fully
+    precomputable (the history never crosses a read boundary)."""
+    L = qsyms.shape[1]
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
-    active = pos < lengths[:, None]
     b = cfg.hist_bits
-
-    # history register: all-ones reset (reference reset_context, quality.cpp:205)
-    hist = jnp.full_like(qsyms, cfg.hist_mask)
     h = jnp.zeros_like(qsyms)
     for d in range(cfg.n_hist, 0, -1):
         prev = jnp.roll(qsyms, d, axis=1)
@@ -115,13 +114,44 @@ def qual_modeling(cfg: QualConfig, model: jax.Array, qsyms: jax.Array,
         h = ((h << b) | prev)
     hist = h & cfg.hist_mask
     ctx = hist | (_pos_bucket(pos) << (b * cfg.n_hist))
-    ctx = jnp.broadcast_to(ctx, qsyms.shape)
+    return jnp.broadcast_to(ctx, qsyms.shape)
 
-    cdf = models.model_cdf(model, ctx, cfg.scale_bits)
-    f, c = models.cdf_encode_lookup(cdf, qsyms)
-    f = jnp.where(active, f, 1 << cfg.scale_bits)
-    c = jnp.where(active, c, 0)
-    return ctx, f, c, active
+
+def qual_modeling(cfg: QualConfig, model: jax.Array, qsyms: jax.Array,
+                  lengths: jax.Array):
+    """qsyms: [R, L] int32 quantized symbols. Returns (ctx, f, c, active).
+
+    With cfg.with_local, a short scan over read rows folds in-batch model
+    deltas into each row's probabilities (row rd sees the (ctx, sym) events
+    of rows < rd) — the decoder replays the identical order."""
+    R, L = qsyms.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    active = pos < lengths[:, None]
+    ctx = qual_ctx_plane(cfg, qsyms)
+
+    if not cfg.with_local:
+        cdf = models.model_cdf(model, ctx, cfg.scale_bits)
+        f, c = models.cdf_encode_lookup(cdf, qsyms)
+        f = jnp.where(active, f, 1 << cfg.scale_bits)
+        c = jnp.where(active, c, 0)
+        return ctx, f, c, active
+
+    rb = lambda x: common.to_row_blocks(x, cfg.n_lanes)
+
+    def row_step(lm, x):
+        ctx_r, sym_r, act_r = x
+        cdf = models.model_cdf_local(model, lm, ctx_r, cfg.scale_bits)
+        f, c = models.cdf_encode_lookup(cdf, sym_r)
+        f = jnp.where(act_r, f, 1 << cfg.scale_bits)
+        c = jnp.where(act_r, c, 0)
+        lm = models.local_model_update(lm, ctx_r, sym_r, act_r)
+        return lm, (f, c)
+
+    lm0 = jnp.zeros((cfg.n_ctx, cfg.n_sym), jnp.int32)
+    _, (f_b, c_b) = jax.lax.scan(row_step, lm0,
+                                 (rb(ctx), rb(qsyms), rb(active)))
+    return (ctx, common.from_row_blocks(f_b), common.from_row_blocks(c_b),
+            active)
 
 
 def qual_encode_batch(cfg: QualConfig, model: jax.Array, qsyms: jax.Array,
@@ -137,39 +167,60 @@ def qual_encode_batch(cfg: QualConfig, model: jax.Array, qsyms: jax.Array,
 
 def qual_decode_batch(cfg: QualConfig, model: jax.Array, lengths: jax.Array,
                       words: jax.Array, init_states: jax.Array, L: int):
-    """Returns (qsyms [R, L], new_model, final_states, n_words)."""
+    """Returns (qsyms [R, L], new_model, final_states, n_words).
+
+    Nested scans: outer over read rows, inner over positions. The in-batch
+    local model deltas are frozen during a row and applied vectorized at the
+    row boundary — replaying qual_modeling's row scan exactly."""
     N = cfg.n_lanes
     R = lengths.shape[0]
     r_pl = R // N
     lengths_grid = common.to_read_grid(lengths, N)     # [N, r_pl]
     sb = cfg.scale_bits
     b = cfg.hist_bits
+    pos_row = jnp.arange(L, dtype=jnp.int32)[None, :]
 
-    def step(carry, t):
-        x, ptr, hist = carry
-        rd = t // L
-        i = t % L
+    def outer(carry, rd):
+        x, ptr, lm = carry
         length = jax.lax.dynamic_index_in_dim(lengths_grid, rd, axis=1,
                                               keepdims=False)
-        active = i < length
-        hist = jnp.where(i == 0, cfg.hist_mask, hist)
-        ctx = hist | (_pos_bucket(jnp.full_like(hist, i)) << (b * cfg.n_hist))
-        cdf = models.model_cdf(model, ctx, sb)
-        slot = rans.rans_decode_slots(x, sb)
-        sym, f, c = rans.cdf_lookup(cdf, slot)
-        f = jnp.where(active, f, 1 << sb)
-        c = jnp.where(active, c, 0)
-        x, ptr = rans.rans_decode_advance(x, ptr, words, f, c, sb)
-        sym = jnp.where(active, sym, 0)
-        hist = ((hist << b) | sym) & cfg.hist_mask
-        return (x, ptr, hist), sym
 
-    hist0 = jnp.full((N,), cfg.hist_mask, jnp.int32)
-    (x, ptr, _), ys = jax.lax.scan(
-        step, (init_states, jnp.int32(0), hist0),
-        jnp.arange(r_pl * L, dtype=jnp.int32))
-    qsyms = common.from_grid(ys, N, L)
-    ctx, _, _, active = qual_modeling(cfg, model, qsyms, lengths)
+        def inner(c2, i):
+            x, ptr, hist = c2
+            active = i < length
+            ctx = hist | (_pos_bucket(jnp.full_like(hist, i))
+                          << (b * cfg.n_hist))
+            if cfg.with_local:
+                cdf = models.model_cdf_local(model, lm, ctx, sb)
+            else:
+                cdf = models.model_cdf(model, ctx, sb)
+            slot = rans.rans_decode_slots(x, sb)
+            sym, f, c = rans.cdf_lookup(cdf, slot)
+            f = jnp.where(active, f, 1 << sb)
+            c = jnp.where(active, c, 0)
+            x, ptr = rans.rans_decode_advance(x, ptr, words, f, c, sb)
+            sym = jnp.where(active, sym, 0)
+            hist = ((hist << b) | sym) & cfg.hist_mask
+            return (x, ptr, hist), (sym, ctx)
+
+        hist0 = jnp.full((N,), cfg.hist_mask, jnp.int32)
+        (x, ptr, _), (sym_y, ctx_y) = jax.lax.scan(
+            inner, (x, ptr, hist0), jnp.arange(L, dtype=jnp.int32))
+        sym_r, ctx_r = sym_y.T, ctx_y.T            # [N, L]
+        if cfg.with_local:
+            act_r = pos_row < length[:, None]
+            lm = models.local_model_update(lm, ctx_r, sym_r, act_r)
+        return (x, ptr, lm), (sym_r, ctx_r)
+
+    lm0 = jnp.zeros((cfg.n_ctx, cfg.n_sym) if cfg.with_local else (1, 1),
+                    jnp.int32)
+    (x, ptr, _), (sym_b, ctx_b) = jax.lax.scan(
+        outer, (init_states, jnp.int32(0), lm0),
+        jnp.arange(r_pl, dtype=jnp.int32))
+    qsyms = common.from_row_blocks(sym_b)
+    ctx = common.from_row_blocks(ctx_b)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    active = pos < lengths[:, None]
     new_model = models.model_update(
         model, ctx.reshape(-1), qsyms.reshape(-1), active.reshape(-1))
     return qsyms, new_model, x, ptr

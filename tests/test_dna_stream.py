@@ -41,7 +41,7 @@ def test_dna_roundtrip_multibatch():
             jnp.asarray(lengths))
         total_words += int(n_words)
 
-        out, dec_state, fin, ptr = dna.dna_decode_batch(
+        out, dec_state, fin, ptr, _ = dna.dna_decode_batch(
             cfg, dec_state, jnp.asarray(lengths), words, states, L)
         out = np.asarray(out)
         mask = np.arange(L)[None] < lengths[:, None]

