@@ -14,7 +14,7 @@ from typing import BinaryIO, List, Tuple
 
 import numpy as np
 
-MAGIC = b"FQTZ02"
+MAGIC = b"FQTZ03"  # 03: tokenized id stream (streams/ids.py)
 
 
 def write_uvarint(f: BinaryIO, v: int) -> None:

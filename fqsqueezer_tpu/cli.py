@@ -3,7 +3,8 @@
 Flag surface follows /root/reference/fqs/fqsqueezer.cpp:30-232:
   fqsqueezer_tpu e|d [options] <in> [<in2>]
   -s / -p            single-end / paired-end
-  -t <n>             threads hint (maps to lane/batch geometry)
+  -t <n>             accepted for reference-CLI parity; ignored (TPU
+                     geometry is -lanes/-batch)
   -gs <mbp>          genome size -> k-mer length auto-tuning
   -om o|s            original / sorted read order
   -qm o|8|4|2|n      quality mode
@@ -25,7 +26,7 @@ _USAGE = """fqsqueezer_tpu <mode> [options] <in.fastq> [<in2.fastq>]
 mode: e (compress) | d (decompress)
 options:
   -s | -p        single-end (default) | paired-end
-  -t <n>         thread/lane hint (1-64)
+  -t <n>         accepted for parity; ignored
   -gs <mbp>      genome size estimate in Mbp (default 3100)
   -om <o|s>      read order: original | sorted (default s)
   -qm <o|8|4|2|n> quality: lossless|illumina8|illumina4|binary|none (default 8)
@@ -168,8 +169,9 @@ def main(argv=None) -> int:
             from .params import Params as _P
             from . import archive as _arc
 
-            hdr = _P.load_params(
-                _arc.ArchiveReader(p.file_names[0]).header_blob, base=p)
+            rd = _arc.ArchiveReader(p.file_names[0])
+            hdr = _P.load_params(rd.header_blob, base=p)
+            rd.close()
             if hdr.mesh_dp > 1 or hdr.mesh_tp > 1:
                 from .parallel import mesh_pipeline
 

@@ -62,9 +62,10 @@ def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
         id_list = ids_mod.instrument_prefix(id_list)
     if p.id_mode != IdMode.NONE:
         p.max_id_len = max(8, max((len(s) for s in id_list), default=8))
-        id_mat_all, id_lens_all = ids_mod.ids_to_matrix(id_list, p.max_id_len)
+        p.id_n_fields = ids_mod.count_fields(id_list)
+        id_chain = [None] * (dp * p.n_lanes)
     else:
-        id_mat_all = id_lens_all = None
+        id_chain = None
 
     p.mesh_dp, p.mesh_tp = dp, tp
     dcfg, qcfg, mcfg, icfg = base.make_configs(p)
@@ -91,15 +92,17 @@ def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
         else:
             qs = np.zeros_like(codes)
         if icfg is not None:
-            id_mat = base._pad_batch(id_mat_all[start:start + take], padded)
-            id_lens = base._pad_batch(id_lens_all[start:start + take], padded)
+            ids_batch = (id_list[start:start + take]
+                         + [b""] * (padded - take))
+            id_np = ids_mod.encode_ids_host(
+                ids_batch, ids_mod.mesh_read_lanes(padded, dp, N),
+                icfg.n_fields, icfg.max_id_len, id_chain)
         else:
-            id_mat = np.zeros((padded, 1), np.uint8)
-            id_lens = np.zeros((padded,), np.int32)
+            id_np = ids_mod.zero_id_batch(padded)
 
         put = lambda a: jax.device_put(jnp.asarray(a), bspec)
         outs = enc(state, put(codes), put(kcodes), put(lengths), put(qs),
-                   put(id_mat), put(id_lens))
+                   tuple(put(a) for a in id_np))
         m, i, d, q, state = outs
         base_streams = [m, d] + ([q] if qcfg is not None else []) \
             + ([i] if icfg is not None else [])
@@ -146,8 +149,13 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
         _, qrev = quality.qual_maps(qcfg.mode, qcfg.qt)
 
     dec_cache = {}
-    all_codes, all_quals, all_lengths = [], [], []
-    all_ids = [] if icfg is not None else None
+    id_chain = [None] * (dp * N) if icfg is not None else None
+    is_pe = p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
+    if is_pe:
+        w1 = fastq.FastqWriter(out_path)
+        w2 = fastq.FastqWriter(out_path2 or p.out_path2)
+    else:
+        w1, w2 = fastq.FastqWriter(out_path), None
     while True:
         rec = reader.read_group(N)
         if rec is None:
@@ -170,7 +178,7 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
             if qcfg is not None:
                 caps.append(R_shard * max(L, 2))
             if icfg is not None:
-                caps.append(R_shard * (2 + icfg.max_id_len))
+                caps.append(R_shard * icfg.w_all + 4 * N)
             planes = [np.zeros((dp * c,), np.uint32) for c in caps]
             st_planes = [np.zeros((dp * N,), np.uint32) for _ in caps]
             for s in range(dp):
@@ -194,7 +202,7 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
             else:
                 z = jnp.zeros((0,), jnp.uint32)
                 args += [z, z]
-            lengths, codes, qsyms, id_mat, id_lens, state = dec(*args)
+            lengths, codes, qsyms, id_batch, state = dec(*args)
 
             codes_np = np.asarray(codes[:take]).astype(np.uint8)
             lengths_np = np.asarray(lengths[:take]).astype(np.int32)
@@ -202,36 +210,36 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
             codes_np = np.where(poscols < lengths_np[:, None], codes_np,
                                 0).astype(np.uint8)
             got_crc = base.payload_crc(got_crc, codes_np, lengths_np)
-            all_codes.append(codes_np)
-            all_quals.append(np.asarray(qsyms[:take]))
-            all_lengths.append(lengths_np)
-            if all_ids is not None:
-                mat = np.asarray(id_mat[:take])
-                lens = np.asarray(id_lens[:take])
-                all_ids.extend(mat[r, :lens[r]].tobytes()
-                               for r in range(take))
+            qsyms_np = np.asarray(qsyms[:take])
+            if qrev is not None:
+                quals_np = qrev[qsyms_np].astype(np.uint8)
+            else:
+                quals_np = np.full(qsyms_np.shape, p.quality_thr, np.uint8)
+            if icfg is not None:
+                id_all = ids_mod.decode_ids_host(
+                    *(np.asarray(a) for a in id_batch),
+                    ids_mod.mesh_read_lanes(padded, dp, N), id_chain)
+                ids_np = id_all[:take]
+            else:
+                ids_np = None
+            if is_pe:
+                w1.write_batch(codes_np[0::2], quals_np[0::2],
+                               lengths_np[0::2],
+                               ids=None if ids_np is None else ids_np[0::2])
+                w2.write_batch(codes_np[1::2], quals_np[1::2],
+                               lengths_np[1::2],
+                               ids=None if ids_np is None else ids_np[1::2])
+            else:
+                w1.write_batch(codes_np, quals_np, lengths_np, ids=ids_np)
         if got_crc != want_crc:
             raise ValueError(f"payload checksum mismatch (mesh decode)")
     reader.close()
 
-    if not all_codes:
-        open(out_path, "wb").close()
-        return {"n_reads": 0}
-    L_max = max(c.shape[1] for c in all_codes)
-    padL = lambda a: np.pad(a, ((0, 0), (0, L_max - a.shape[1])))
-    codes = np.concatenate([padL(c) for c in all_codes]).astype(np.uint8)
-    qsyms = np.concatenate([padL(q) for q in all_quals])
-    lengths = np.concatenate(all_lengths)
-    if qrev is not None:
-        quals = qrev[qsyms].astype(np.uint8)
-    else:
-        quals = np.full(qsyms.shape, p.quality_thr, np.uint8)
-    if p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED):
-        base.decompress_pe_split(p, codes, quals, lengths, all_ids,
-                                 out_path, out_path2 or p.out_path2)
-    else:
-        fastq.write_fastq(out_path, codes, quals, lengths, all_ids)
-    return {"n_reads": int(lengths.shape[0])}
+    n_out = w1.n_reads + (w2.n_reads if w2 is not None else 0)
+    w1.close()
+    if w2 is not None:
+        w2.close()
+    return {"n_reads": n_out}
 
 
 def compress_pe_mesh(p: Params, in1: str, in2: str, out_path: str, dp: int,

@@ -117,8 +117,7 @@ def make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
     n_tp = mesh.shape["tp"]
     be = TpBackend("tp", n_tp)
 
-    def step(state: CodecState, codes, kcodes, lengths, qsyms,
-             id_mat, id_lens):
+    def step(state: CodecState, codes, kcodes, lengths, qsyms, id_batch):
         g = partial(jax.lax.all_gather, axis_name="dp", axis=0, tiled=True)
 
         # META
@@ -166,7 +165,7 @@ def make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
         # IDS
         if icfg is not None:
             i_ctx, i_syms, i_f, i_c, i_active = ids.id_modeling(
-                icfg, state.id, id_mat, id_lens)
+                icfg, state.id, *id_batch)
             i_words, i_n, i_states = rans.rans_encode(
                 common.to_grid(i_f, icfg.n_lanes),
                 common.to_grid(i_c, icfg.n_lanes), icfg.scale_bits)
@@ -191,7 +190,7 @@ def make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
     out_stream = (P("dp"), P("dp"), P("dp"))
     fn = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(sspec, batch, batch, batch, batch, batch, batch),
+        in_specs=(sspec, batch, batch, batch, batch, batch),
         out_specs=(out_stream, out_stream, out_stream, out_stream, sspec),
         check_vma=False)
     return jax.jit(fn)
@@ -240,26 +239,29 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
             qsyms, q_model = jnp.zeros((R_shard, L), jnp.int32), None
 
         if icfg is not None:
-            id_mat, id_lens, _, _, _ = ids.id_decode_batch(
-                icfg, state.id, R_shard, i_words, i_states)
+            (i_flag, i_dsym, i_dmag, i_emat, i_elens, _, _,
+             _) = ids.id_decode_batch(icfg, state.id, R_shard, i_words,
+                                      i_states)
+            id_batch = (i_flag, i_dsym, i_dmag, i_emat, i_elens)
             i_ctx, i_syms, _, _, i_active = ids.id_modeling(
-                icfg, state.id, id_mat, id_lens)
+                icfg, state.id, *id_batch)
             i_model = models.model_update(
                 state.id, g(i_ctx).reshape(-1), g(i_syms).reshape(-1),
                 g(i_active).reshape(-1))
         else:
-            id_mat = jnp.zeros((R_shard, 1), jnp.uint8)
-            id_lens, i_model = jnp.zeros((R_shard,), jnp.int32), None
+            id_batch = tuple(
+                jnp.asarray(a) for a in ids.zero_id_batch(R_shard))
+            i_model = None
 
         new_state = CodecState(dna=d_state, meta=m_model, qual=q_model,
                                id=i_model)
-        return lengths, codes, qsyms, id_mat, id_lens, new_state
+        return lengths, codes, qsyms, id_batch, new_state
 
     sspec = state_specs(qcfg is not None, icfg is not None)
     w = P("dp")
     fn = jax.shard_map(
         step, mesh=mesh,
         in_specs=(sspec, w, w, w, w, w, w, w, w),
-        out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), sspec),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), sspec),
         check_vma=False)
     return jax.jit(fn)

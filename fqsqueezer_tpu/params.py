@@ -86,6 +86,7 @@ class Params:
 
     # id geometry (set at compress time from the data; stored in the header)
     max_id_len: int = 64
+    id_n_fields: int = 4   # numeric token fields per id (see streams/ids.py)
 
     # TPU execution geometry
     mesh_dp: int = 1               # data-parallel shards the archive was written with
@@ -102,6 +103,11 @@ class Params:
     pe_log2_buckets: int = 18
     # in-batch local table cells (reference ht_*_local analog); 0 disables
     local_log2_cells: int = 22
+    # in-batch model-delta increment (row-synced model adaptation); 0 = off.
+    # Measured on the standard corpus: deltas HURT (count-conditioned
+    # contexts are already well-estimated; in-batch deltas add sampling
+    # noise): DNA 1,559,442 (inc 0) vs 1,578,800 (inc 8) at batch 4096.
+    local_model_inc: int = 0
 
     def adjust_kmer_sizes(self) -> None:
         """Auto-pick k-mer lengths from genome size (parity: params.h:131-155)."""
@@ -129,16 +135,16 @@ class Params:
     _HDR_KEYS = (
         "dna_mode", "id_mode", "quality_mode", "quality_thr",
         "duplicates_check", "prefix_len", "pmer_len", "smer_len", "bmer_len",
-        "max_id_len",
+        "max_id_len", "id_n_fields",
         "mesh_dp", "mesh_tp",
         "n_lanes", "max_batch_reads", "scale_bits",
         "smer_log2_buckets", "bmer_log2_buckets", "pe_log2_buckets",
-        "local_log2_cells",
+        "local_log2_cells", "local_model_inc",
     )
 
     # decode-affecting params whose absence in an archive header means the
     # writer predates the feature (NOT "use the current default")
-    _HDR_LEGACY = {"local_log2_cells": 0}
+    _HDR_LEGACY = {"local_log2_cells": 0, "local_model_inc": 8}
 
     def store_params(self) -> bytes:
         d = {}

@@ -43,13 +43,16 @@ def make_configs(p: Params):
         prefix_len=p.prefix_len, scale_bits=p.scale_bits, n_lanes=p.n_lanes,
         smer_log2_buckets=p.smer_log2_buckets,
         bmer_log2_buckets=p.bmer_log2_buckets,
-        local_log2_cells=p.local_log2_cells)
+        local_log2_cells=p.local_log2_cells,
+        local_model_inc=p.local_model_inc)
     qmode = p.quality_mode.value
     qcfg = None
     if p.quality_mode != QualityMode.NONE:
-        qcfg = quality.QualConfig(mode=qmode, qt=p.quality_thr,
-                                  scale_bits=p.scale_bits, n_lanes=p.n_lanes,
-                                  with_local=p.local_log2_cells > 0)
+        qcfg = quality.QualConfig(
+            mode=qmode, qt=p.quality_thr, scale_bits=p.scale_bits,
+            n_lanes=p.n_lanes,
+            with_local=p.local_log2_cells > 0 and p.local_model_inc > 0,
+            local_inc=p.local_model_inc)
     mcfg = meta.MetaConfig(
         scale_bits=p.scale_bits, n_lanes=p.n_lanes,
         with_lcp=p.dna_mode in (DnaMode.SE_SORTED, DnaMode.PE_SORTED),
@@ -57,7 +60,8 @@ def make_configs(p: Params):
                                        DnaMode.PE_SORTED) else 1)
     icfg = None
     if p.id_mode != IdMode.NONE:
-        icfg = ids.IdConfig(max_id_len=p.max_id_len, scale_bits=p.scale_bits,
+        icfg = ids.IdConfig(max_id_len=p.max_id_len,
+                            n_fields=p.id_n_fields, scale_bits=p.scale_bits,
                             n_lanes=p.n_lanes)
     return dcfg, qcfg, mcfg, icfg
 
@@ -72,7 +76,7 @@ def state_create(dcfg, qcfg, icfg=None) -> CodecState:
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _encode_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes, kcodes,
-                  lengths, qsyms, id_mat, id_lens):
+                  lengths, qsyms, id_batch):
     lcp = (meta.compute_lcp(codes, lengths, mcfg.n_lanes, mcfg.lcp_stride)
            if mcfg.with_lcp else None)
     m_words, m_n, m_states, m_model = meta.meta_encode_batch(
@@ -88,7 +92,7 @@ def _encode_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes, kcodes,
             jnp.zeros((0,), jnp.uint32), None)
     if icfg is not None:
         i_words, i_n, i_states, i_model = ids.id_encode_batch(
-            icfg, state.id, id_mat, id_lens)
+            icfg, state.id, *id_batch)
     else:
         i_words, i_n, i_states, i_model = (
             jnp.zeros((0,), jnp.uint32), jnp.int32(0),
@@ -131,7 +135,7 @@ def _pack_inputs(codes_u8: np.ndarray, quals_u8, qcfg, qfwd_np):
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3), donate_argnums=(4,))
 def _model_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes_pack,
-                 nmask_pack, q_pack, lengths, id_mat, id_lens):
+                 nmask_pack, q_pack, lengths, id_batch):
     """Modeling + state evolution only: returns per-stream (freq, cum) lane
     grids (uint16, kept device-resident by the caller for deferred
     group-chained rANS emission), plus the new state. Inputs arrive
@@ -182,7 +186,7 @@ def _model_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes_pack,
         q_model = None
     if icfg is not None:
         i_ctx, i_syms, i_f, i_c, i_act = _ids.id_modeling(
-            icfg, state.id, id_mat, id_lens)
+            icfg, state.id, *id_batch)
         i_model = _m.model_update(
             state.id, i_ctx.reshape(-1), i_syms.reshape(-1), i_act.reshape(-1))
         grids.append((g16(i_f, icfg.n_lanes), g16(i_c, icfg.n_lanes)))
@@ -235,16 +239,17 @@ def _decode_batch(dcfg, qcfg, mcfg, icfg, R, L, state: CodecState,
     else:
         qsyms, q_model, q_x = jnp.zeros((R, L), jnp.int32), None, q_states
     if icfg is not None:
-        id_mat, id_lens, i_model, i_x, _ = ids.id_decode_batch(
-            icfg, state.id, R, i_words, i_states)
+        (i_flag, i_dsym, i_dmag, i_emat, i_elens, i_model, i_x,
+         _) = ids.id_decode_batch(icfg, state.id, R, i_words, i_states)
+        id_batch = (i_flag, i_dsym, i_dmag, i_emat, i_elens)
     else:
-        id_mat = jnp.zeros((R, 1), jnp.uint8)
-        id_lens, i_model, i_x = jnp.zeros((R,), jnp.int32), None, i_states
+        id_batch = tuple(jnp.asarray(a) for a in ids.zero_id_batch(R))
+        i_model, i_x = None, i_states
     new_state = CodecState(dna=d_state, meta=m_model, qual=q_model,
                            id=i_model)
     # u8 outputs keep the device->host pull at ~1 byte per base
     return (lengths, codes.astype(jnp.uint8), qsyms.astype(jnp.uint8),
-            id_mat, id_lens, new_state, (m_x, d_x, q_x, i_x))
+            id_batch, new_state, (m_x, d_x, q_x, i_x))
 
 
 def payload_crc(crc: int, codes_u8: np.ndarray, lengths: np.ndarray) -> int:
@@ -296,12 +301,10 @@ def compress_file(p: Params, in_path: str, out_path: str,
     forward (tables evolve), their (freq, cum) grids buffered host-side, and
     each group's batches are entropy-coded in REVERSE so lane states chain —
     one state block per stream per group instead of per batch."""
+    in_paths = list(in_path) if isinstance(in_path, (list, tuple)) else [in_path]
     if data is None:
-        if isinstance(in_path, (list, tuple)):
-            data = fastq.concat_fastq([fastq.read_fastq(f) for f in in_path])
-            in_path = in_path[0]
-        else:
-            data = fastq.read_fastq(in_path)
+        data = (fastq.concat_fastq([fastq.read_fastq(f) for f in in_paths])
+                if len(in_paths) > 1 else fastq.read_fastq(in_paths[0]))
     if p.dna_mode == DnaMode.SE_SORTED:
         order = fastq.sort_order(data.codes, data.lengths)
         data = fastq.FastqData(
@@ -314,9 +317,10 @@ def compress_file(p: Params, in_path: str, out_path: str,
         id_list = ids.instrument_prefix(id_list)
     if p.id_mode != IdMode.NONE:
         p.max_id_len = max(8, max((len(s) for s in id_list), default=8))
-        id_mat_all, id_lens_all = ids.ids_to_matrix(id_list, p.max_id_len)
+        p.id_n_fields = ids.count_fields(id_list)
+        id_chain = [None] * p.n_lanes
     else:
-        id_mat_all = id_lens_all = None
+        id_chain = None
 
     dcfg, qcfg, mcfg, icfg = make_configs(p)
     state = state_create(dcfg, qcfg, icfg)
@@ -370,6 +374,11 @@ def compress_file(p: Params, in_path: str, out_path: str,
             payload_crc=group_crc)
         group_crc = 0
         group_fc, group_meta, group_bytes = [], [], 0
+        if id_chain is not None:
+            # groups stay independently decodable (resume / parallel decode):
+            # the id token chains reset at every group boundary, so the first
+            # read of each lane in a group escapes to raw bytes
+            id_chain[:] = [None] * len(id_chain)
         if snapshot_prefix is not None:
             # state AFTER this group's batches = what a decoder needs to
             # START decoding the NEXT group (parallel decode / resume)
@@ -388,11 +397,13 @@ def compress_file(p: Params, in_path: str, out_path: str,
         quals_u8 = (_pad_batch(data.quals[start:start + take], padded)
                     if qcfg is not None else None)
         if icfg is not None:
-            id_mat = _pad_batch(id_mat_all[start:start + take], padded)
-            id_lens = _pad_batch(id_lens_all[start:start + take], padded)
+            ids_batch = (id_list[start:start + take]
+                         + [b""] * (padded - take))
+            id_np = ids.encode_ids_host(
+                ids_batch, ids.read_lanes(padded, p.n_lanes),
+                icfg.n_fields, icfg.max_id_len, id_chain)
         else:
-            id_mat = np.zeros((padded, 1), np.uint8)
-            id_lens = np.zeros((padded,), np.int32)
+            id_np = ids.zero_id_batch(padded)
 
         kp, nm, qp, L8 = _pack_inputs(codes_u8, quals_u8, qcfg, qfwd_np)
         # crc over the L8-padded width: the decoder reconstructs (and
@@ -403,7 +414,7 @@ def compress_file(p: Params, in_path: str, out_path: str,
         grids, state = _model_batch(
             dcfg, qcfg, mcfg, icfg, state,
             jnp.asarray(kp), jnp.asarray(nm), jnp.asarray(qp),
-            jnp.asarray(lengths), jnp.asarray(id_mat), jnp.asarray(id_lens))
+            jnp.asarray(lengths), tuple(jnp.asarray(a) for a in id_np))
         group_fc.append(grids)   # device-resident uint16 grids
         group_meta.append((take, L8))
         group_bytes += sum(f.size * 2 + c.size * 2 for f, c in grids)
@@ -413,7 +424,7 @@ def compress_file(p: Params, in_path: str, out_path: str,
     writer.close()
 
     import os
-    in_bytes = os.path.getsize(in_path) if os.path.exists(in_path) else 0
+    in_bytes = sum(os.path.getsize(f) for f in in_paths if os.path.exists(f))
     out_bytes = os.path.getsize(out_path)
     n_bases = int(data.lengths.sum())
     if p.verbosity >= 2:
@@ -436,7 +447,7 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
     state must be the snapshot taken after group start_group-1."""
     reader = archive.ArchiveReader(in_path)
     p = Params.load_params(reader.header_blob, base=p_cli)
-    if p.mesh_dp > 1:
+    if p.mesh_dp > 1 or p.mesh_tp > 1:
         raise ValueError(
             f"archive was written on a {p.mesh_dp}x{p.mesh_tp} mesh — "
             f"use parallel.mesh_pipeline.decompress_file_mesh")
@@ -447,9 +458,14 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
     qrev = None
     if qcfg is not None:
         _, qrev = quality.qual_maps(qcfg.mode, qcfg.qt)
+    id_chain = [None] * p.n_lanes if icfg is not None else None
 
-    all_codes, all_quals, all_lengths = [], [], []
-    all_ids = [] if icfg is not None else None
+    is_pe = p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
+    if is_pe:
+        w1 = fastq.FastqWriter(out_path)
+        w2 = fastq.FastqWriter(out_path2 or p.out_path2)
+    else:
+        w1, w2 = fastq.FastqWriter(out_path), None
     gi = -1
     while True:
         rec = reader.read_group(p.n_lanes)
@@ -460,6 +476,8 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
             continue
         gstates, batches, want_crc = rec
         got_crc = 0
+        if id_chain is not None:
+            id_chain[:] = [None] * len(id_chain)   # mirrors flush_group
         cur = [jnp.asarray(st) for st in gstates]
         align = (2 * p.n_lanes
                  if p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
@@ -483,13 +501,13 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
                 q_states = jnp.zeros((0,), jnp.uint32)
             if icfg is not None:
                 i_words, _ = streams[si]; i_states = cur[si]; si += 1
-                i_cap = padded * (2 + icfg.max_id_len)
+                i_cap = padded * icfg.w_all + 4 * p.n_lanes
             else:
                 i_words = np.zeros((0,), np.uint32)
                 i_states = jnp.zeros((0,), jnp.uint32)
                 i_cap = 0
 
-            (lengths, codes, qsyms, id_mat, id_lens, state,
+            (lengths, codes, qsyms, id_batch, state,
              (m_x, d_x, q_x, i_x)) = _decode_batch(
                 dcfg, qcfg, mcfg, icfg, padded, L, state,
                 fit(m_words, mcfg.n_per_read * padded), m_states,
@@ -508,43 +526,42 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
             poscols = np.arange(codes_np.shape[1])[None, :]
             codes_np = np.where(poscols < lengths_np[:, None], codes_np, 0)
             got_crc = payload_crc(got_crc, codes_np, lengths_np)
-            all_codes.append(codes_np)
-            all_quals.append(np.asarray(qsyms[:take]))
-            all_lengths.append(lengths_np)
-            if all_ids is not None:
-                mat = np.asarray(id_mat[:take])
-                lens = np.asarray(id_lens[:take])
-                all_ids.extend(mat[r, :lens[r]].tobytes()
-                               for r in range(take))
+            qsyms_np = np.asarray(qsyms[:take])
+            if qrev is not None:
+                quals_np = qrev[qsyms_np].astype(np.uint8)
+            else:
+                quals_np = np.full(qsyms_np.shape, p.quality_thr, np.uint8)
+            if icfg is not None:
+                # host detokenization replays the encoder's per-lane chains
+                id_all = ids.decode_ids_host(
+                    *(np.asarray(a) for a in id_batch),
+                    ids.read_lanes(padded, p.n_lanes), id_chain)
+                ids_np = id_all[:take]
+            else:
+                ids_np = None
+            # streamed output: write this batch and drop it (host memory
+            # stays O(batch) regardless of file size)
+            if is_pe:
+                w1.write_batch(codes_np[0::2].astype(np.uint8),
+                               quals_np[0::2], lengths_np[0::2],
+                               ids=None if ids_np is None else ids_np[0::2])
+                w2.write_batch(codes_np[1::2].astype(np.uint8),
+                               quals_np[1::2], lengths_np[1::2],
+                               ids=None if ids_np is None else ids_np[1::2])
+            else:
+                w1.write_batch(codes_np.astype(np.uint8), quals_np,
+                               lengths_np, ids=ids_np)
         if got_crc != want_crc:
             raise ValueError(
                 f"payload checksum mismatch in group {gi} "
                 f"(archive corrupt or decoder divergence)")
     reader.close()
 
-    if not all_codes:
-        open(out_path, "wb").close()
-        return {"n_reads": 0}
-    L_max = max(c.shape[1] for c in all_codes)
-
-    def padL(a):
-        if a.shape[1] == L_max:
-            return a
-        return np.pad(a, ((0, 0), (0, L_max - a.shape[1])))
-
-    codes = np.concatenate([padL(c) for c in all_codes]).astype(np.uint8)
-    qsyms = np.concatenate([padL(q) for q in all_quals])
-    lengths = np.concatenate(all_lengths).astype(np.int32)
-    if qrev is not None:
-        quals = qrev[qsyms].astype(np.uint8)
-    else:
-        quals = np.full(qsyms.shape, p.quality_thr, np.uint8)
-    if p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED):
-        decompress_pe_split(p, codes, quals, lengths, all_ids, out_path,
-                            out_path2 or p.out_path2)
-    else:
-        fastq.write_fastq(out_path, codes, quals, lengths, all_ids)
-    return {"n_reads": int(lengths.shape[0])}
+    n_out = w1.n_reads + (w2.n_reads if w2 is not None else 0)
+    w1.close()
+    if w2 is not None:
+        w2.close()
+    return {"n_reads": n_out}
 
 
 def interleave_pe(d1: fastq.FastqData, d2: fastq.FastqData) -> fastq.FastqData:
@@ -595,12 +612,3 @@ def compress_pe(p: Params, in1: str, in2: str, out_path: str) -> dict:
     stats["in_bytes"] = os.path.getsize(in1) + os.path.getsize(in2)
     stats["ratio"] = stats["in_bytes"] / max(1, stats["out_bytes"])
     return stats
-
-
-def decompress_pe_split(p: Params, codes, quals, lengths, ids,
-                        out1: str, out2: str) -> None:
-    """De-interleave decoded pairs into the two mate files."""
-    fastq.write_fastq(out1, codes[0::2], quals[0::2], lengths[0::2],
-                      None if ids is None else ids[0::2])
-    fastq.write_fastq(out2, codes[1::2], quals[1::2], lengths[1::2],
-                      None if ids is None else ids[1::2])

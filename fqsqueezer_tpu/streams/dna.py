@@ -76,8 +76,12 @@ class DnaConfig:
     smer_log2_buckets: int = 20
     bmer_log2_buckets: int = 20
     # in-batch local s/b-mer tables (reference ht_*_local, dna.cpp:95-107);
-    # 0 disables. See ops/tables.py local_* and dna_local_sim below.
+    # 0 disables. See ops/tables.py local_* and the row-synced machinery
+    # below.
     local_log2_cells: int = 22
+    # in-batch model-delta increment (0 disables model deltas; measured a
+    # net ratio LOSS on the standard corpus — see params.py)
+    local_model_inc: int = 0
 
 
 class DnaState(NamedTuple):
@@ -323,14 +327,23 @@ def local_row_update(cfg, ls, lb, lm, eff_row, ctx_row, sym_row, act_row,
 
     ls = upd(ls, cfg.smer_len)
     lb = upd(lb, cfg.bmer_len)
-    lm = models.local_model_update(lm, ctx_row, sym_row, act_row)
+    if cfg.local_model_inc > 0:
+        lm = models.local_model_update(lm, ctx_row, sym_row, act_row,
+                                       inc=cfg.local_model_inc)
     return ls, lb, lm
 
 
+def _dna_cdf(cfg, model, lm, ctx, sb):
+    if cfg.local_model_inc > 0:
+        return models.model_cdf_local(model, lm, ctx, sb)
+    return models.model_cdf(model, ctx, sb)
+
+
 def _local_state_create(cfg):
+    lm_shape = (N_MODEL_CTX, A_SYM) if cfg.local_model_inc > 0 else (1, 1)
     return (tables.local_create(cfg.local_log2_cells),
             tables.local_create(cfg.local_log2_cells),
-            jnp.zeros((N_MODEL_CTX, A_SYM), jnp.int32))
+            jnp.zeros(lm_shape, jnp.int32))
 
 
 def dna_effective_kcodes(cfg, state, codes, kcodes, lengths, be=tables.LOCAL):
@@ -444,7 +457,7 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
         counts, level = _cascade_combine(*_merge_local(parts_r, cs_l, cb_l))
         ctx_r, sym_r = _ctx_sym_from_counts(
             cfg, counts, level, codes_r, cact_r, pb_r, let_r, pos)
-        cdf = models.model_cdf_local(state.model, lm, ctx_r, cfg.scale_bits)
+        cdf = _dna_cdf(cfg, state.model, lm, ctx_r, cfg.scale_bits)
         f, c = models.cdf_encode_lookup(cdf, sym_r)
         f = jnp.where(cact_r, f, 1 << cfg.scale_bits)
         c = jnp.where(cact_r, c, 0)
@@ -630,7 +643,7 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
                                 (1 << CODE_CTX_BITS) + let_ctx)
 
             if with_local:
-                cdf = models.model_cdf_local(state.model, loc[2], ctx_all, sb)
+                cdf = _dna_cdf(cfg, state.model, loc[2], ctx_all, sb)
             else:
                 cdf = models.model_cdf(state.model, ctx_all, sb)
             slot = rans.rans_decode_slots(x, sb)

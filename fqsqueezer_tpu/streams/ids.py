@@ -1,21 +1,27 @@
-"""ID stream codec: columnar byte modeling.
+"""ID stream codec: tokenized numeric-delta modeling.
 
 Capability parity with the reference CIdCompressor
 (/root/reference/fqs/id.{h,cpp}): lossless ids, instrument mode (keep only
 the instrument prefix up to the first '.', ' ' or ':' — extract_instrument,
-id.cpp:231-238, reconstruction id.cpp:418-483), none (reconstruct a bare '@'
-line, id.cpp:486-492).
+id.cpp:231-238), none (reconstruct a bare '@' line, id.cpp:486-492).
 
-TPU-first redesign: instead of the reference's serial token machinery
-(literal/numeric tokens, per-token delta models with byte escapes,
-id.cpp:257-415) — which is inherently per-read sequential with variable-length
-control flow — ids are modeled as a byte MATRIX: symbol = byte at (read,
-column), context = (byte at the same column of the previous read, column
-bucket). Constant fields predict exactly; incrementing digit columns
-concentrate on a few successors; the adaptive model learns both. Encode is
-one vectorized pass; decode is a lane scan carrying the previous id row.
-Id lengths are coded first (2 byte symbols under 2 reserved contexts), then
-bytes — one rANS stream, lengths grid then bytes grid.
+Scheme (the TPU-shaped analog of the reference's token machinery,
+id.cpp:257-415): ids are host-tokenized into alternating literal / numeric
+runs. When a read's token TEMPLATE (literal contents + numeric widths)
+matches the previous read's in the same lane, only per-field numeric deltas
+are coded — a 9-symbol alphabet ({0,+1,-1} fast path like id.cpp:310-340,
+plus sign x {1,2,4}-byte magnitude escapes) under per-field contexts;
+otherwise the raw id bytes are coded (escape path). Typical SRA ids
+(constant instrument prefix + incrementing counters) cost ~a few hundredths
+of a bit per read.
+
+Split of labor: the DEVICE entropy-codes a fixed-layout symbol grid per read
+([flag | F delta syms | 4F magnitude bytes | 2 length bytes | M raw bytes],
+unused slots are masked rANS no-ops); every context is static, so encode is
+one vectorized pass and decode a simple lane scan with tiny in-row carries.
+The HOST tokenizes (encoder) / detokenizes (decoder) and carries the
+per-lane (template, values) chains across batches — pure pre/post-processing
+like FASTQ parsing itself.
 """
 from __future__ import annotations
 
@@ -30,32 +36,94 @@ from . import common
 
 N_SYM = 256
 COL_BUCKETS = 16
-# ctx layout: [0, 2) length contexts; [2, 2 + 256*COL_BUCKETS) byte contexts
-N_CTX = 2 + N_SYM * COL_BUCKETS
+F_CAP = 12    # numeric fields coded per id (more -> escape path)
+MAGS = 4      # magnitude bytes per field
+
+# context layout (all static)
+CTX_LEN0, CTX_LEN1 = 0, 1
+CTX_BYTE0 = 2                        # + min(col, 15)
+CTX_FLAG = CTX_BYTE0 + COL_BUCKETS
+CTX_DELTA0 = CTX_FLAG + 1            # + field
+CTX_MAG0 = CTX_DELTA0 + F_CAP        # + field*MAGS + byte
+N_CTX = CTX_MAG0 + F_CAP * MAGS
+
+# delta symbols: 0:+0  1:+1  2:-1  3/4:+-1B  5/6:+-2B  7/8:+-4B
+_NB_LUT = np.array([0, 0, 0, 1, 1, 2, 2, 4, 4], np.int32)
 
 
 @dataclasses.dataclass(frozen=True)
 class IdConfig:
-    max_id_len: int = 64          # static column cap (per-file)
+    max_id_len: int = 64          # static raw-byte cap (per-file)
+    n_fields: int = 4             # numeric fields (per-file, <= F_CAP)
     scale_bits: int = 14
     n_lanes: int = 1024
+
+    @property
+    def w_sym(self) -> int:
+        return 1 + self.n_fields * (1 + MAGS)
+
+    @property
+    def w_all(self) -> int:
+        return self.w_sym + 2 + self.max_id_len
 
 
 def id_state_create() -> jax.Array:
     return models.model_create(N_CTX, N_SYM)
 
 
-def ids_to_matrix(ids: list, max_id_len: int):
-    """Host: list of bytes -> ([R, max_id_len] uint8, [R] int32 lengths).
-    Ids longer than max_id_len are truncated (caller sizes the cap)."""
-    R = len(ids)
-    mat = np.zeros((R, max_id_len), np.uint8)
-    lens = np.zeros((R,), np.int32)
-    for i, s in enumerate(ids):
-        s = s[:max_id_len]
-        lens[i] = len(s)
-        mat[i, :len(s)] = np.frombuffer(s, np.uint8)
-    return mat, lens
+# ---------------------------------------------------------------------------
+# host tokenizer
+# ---------------------------------------------------------------------------
+
+def tokenize_id(s: bytes):
+    """Split into literal / numeric runs. Template elements: bytes (literal),
+    0 (free-width numeric) or width (fixed-width zero-padded numeric).
+    Returns (template tuple, list of numeric values)."""
+    t = []
+    vals = []
+    i, n = 0, len(s)
+    while i < n:
+        j = i
+        if 48 <= s[i] <= 57:
+            while j < n and 48 <= s[j] <= 57:
+                j += 1
+            w = j - i
+            if w <= 9:
+                vals.append(int(s[i:j]))
+                t.append(w if (s[i] == 48 and w > 1) else 0)
+            else:
+                t.append(s[i:j])   # too wide for int32 deltas: literal
+        else:
+            while j < n and not (48 <= s[j] <= 57):
+                j += 1
+            t.append(s[i:j])
+        i = j
+    return tuple(t), vals
+
+
+def detokenize(template, vals) -> bytes:
+    parts = []
+    vi = 0
+    for el in template:
+        if isinstance(el, bytes):
+            parts.append(el)
+        else:
+            v = str(vals[vi]).encode()
+            parts.append(v.rjust(el, b"0") if el else v)
+            vi += 1
+    return b"".join(parts)
+
+
+def count_fields(ids) -> int:
+    """Per-file numeric-field count (template width), capped at F_CAP."""
+    mx = 1
+    for s in ids:
+        _, v = tokenize_id(s)
+        if len(v) > mx:
+            mx = len(v)
+            if mx >= F_CAP:
+                return F_CAP
+    return mx
 
 
 def instrument_prefix(ids: list) -> list:
@@ -72,38 +140,166 @@ def instrument_prefix(ids: list) -> list:
     return out
 
 
-def _byte_ctx(prev_col_bytes, col):
-    cb = jnp.minimum(col, COL_BUCKETS - 1)
-    return 2 + prev_col_bytes.astype(jnp.int32) * COL_BUCKETS + cb
+def read_lanes(R: int, n_lanes: int) -> np.ndarray:
+    """Lane index per read row for the single-chip grid layout
+    (common.to_grid: lane = r // reads_per_lane)."""
+    return np.arange(R) // (R // n_lanes)
 
 
-def id_modeling(cfg: IdConfig, model: jax.Array, mat: jax.Array,
-                lens: jax.Array):
-    """Returns (ctx [R, 2+M], syms [R, 2+M], f, c, active) — the lengths grid
-    concatenated before the bytes grid."""
-    R, M = mat.shape
-    pos = jnp.arange(M, dtype=jnp.int32)[None, :]
-    active_b = pos < lens[:, None]
+def mesh_read_lanes(R: int, dp: int, n_lanes: int) -> np.ndarray:
+    """Global chain index per read on a dp mesh: reads are dp-sharded
+    contiguously, each shard runs its own n_lanes lane group."""
+    r = np.arange(R)
+    R_shard = R // dp
+    r_pl = R_shard // n_lanes
+    return (r // R_shard) * n_lanes + (r % R_shard) // r_pl
 
-    len_syms = jnp.stack([lens & 0xFF, (lens >> 8) & 0xFF], axis=-1)
-    len_ctx = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32)[None, :],
-                               (R, 2))
 
-    # previous read within the SAME lane (lanes own contiguous read ranges,
-    # common.to_grid); the first read of each lane has no predecessor
-    r_pl = R // cfg.n_lanes
-    first_in_lane = (jnp.arange(R, dtype=jnp.int32) % r_pl) == 0
-    prev = jnp.roll(mat, 1, axis=0).at[0].set(0)
-    prev_active = jnp.roll(active_b, 1, axis=0).at[0].set(False)
-    prev_active = prev_active & ~first_in_lane[:, None]
-    prev = jnp.where(prev_active, prev, 0)
-    byte_ctx = _byte_ctx(prev, pos)
-    byte_syms = mat.astype(jnp.int32)
+def encode_ids_host(ids, lanes: np.ndarray, F: int, M: int, chain: list):
+    """Tokenize one (padded) batch of ids against the per-lane chains.
+    lanes: [R] chain index per read (read_lanes / mesh layout).
+    chain: list per lane of (template, values) or None — MUTATED in place
+    (the decoder replays the identical updates). Returns
+    (flag [R]u8, dsym [R,F]u8, dmag [R,F,4]u8, emat [R,M]u8, elens [R]i32).
+    """
+    R = len(ids)
+    flag = np.ones(R, np.uint8)
+    dsym = np.zeros((R, F), np.uint8)
+    dmag = np.zeros((R, F, MAGS), np.uint8)
+    emat = np.zeros((R, M), np.uint8)
+    elens = np.zeros(R, np.int32)
+    for r in range(R):
+        s = ids[r]
+        lane = lanes[r]
+        t, v = tokenize_id(s)
+        prev = chain[lane]
+        ok = (prev is not None and t == prev[0] and len(v) <= F)
+        if ok:
+            row_s = np.zeros(F, np.uint8)
+            row_m = np.zeros((F, MAGS), np.uint8)
+            for f in range(len(v)):
+                d = v[f] - prev[1][f]
+                if d == 0:
+                    continue
+                if d == 1:
+                    row_s[f] = 1
+                    continue
+                if d == -1:
+                    row_s[f] = 2
+                    continue
+                m = abs(d) - 2
+                if m < 256:
+                    row_s[f] = 3 if d > 0 else 4
+                    row_m[f, 0] = m
+                elif m < 65536:
+                    row_s[f] = 5 if d > 0 else 6
+                    row_m[f, 0] = m & 0xFF
+                    row_m[f, 1] = m >> 8
+                elif m < 1 << 32:
+                    row_s[f] = 7 if d > 0 else 8
+                    for j in range(4):
+                        row_m[f, j] = (m >> (8 * j)) & 0xFF
+                else:
+                    ok = False
+                    break
+            if ok:
+                flag[r] = 0
+                dsym[r] = row_s
+                dmag[r] = row_m
+        if not ok:
+            b = s[:M]
+            elens[r] = len(b)
+            emat[r, :len(b)] = np.frombuffer(b, np.uint8)
+        chain[lane] = (t, v)
+    return flag, dsym, dmag, emat, elens
 
-    ctx = jnp.concatenate([len_ctx, byte_ctx], axis=1)
-    syms = jnp.concatenate([len_syms.astype(jnp.int32), byte_syms], axis=1)
-    active = jnp.concatenate(
-        [jnp.ones((R, 2), bool), active_b], axis=1)
+
+def _delta_of(sym: int, mag_row) -> int:
+    if sym == 0:
+        return 0
+    if sym == 1:
+        return 1
+    if sym == 2:
+        return -1
+    nb = int(_NB_LUT[sym])
+    m = 0
+    for j in range(nb):
+        m |= int(mag_row[j]) << (8 * j)
+    m += 2
+    return m if sym % 2 == 1 else -m
+
+
+def decode_ids_host(flag, dsym, dmag, emat, elens, lanes: np.ndarray,
+                    chain: list) -> list:
+    """Inverse of encode_ids_host (same chain discipline)."""
+    R = flag.shape[0]
+    out = []
+    for r in range(R):
+        lane = lanes[r]
+        if flag[r]:
+            s = bytes(emat[r, :elens[r]])
+            t, v = tokenize_id(s)
+        else:
+            t, pvals = chain[lane]
+            v = [pvals[f] + _delta_of(int(dsym[r, f]), dmag[r, f])
+                 for f in range(len(pvals))]
+            s = detokenize(t, v)
+        chain[lane] = (t, v)
+        out.append(s)
+    return out
+
+
+def zero_id_batch(R: int):
+    """Placeholder device-input tuple for id_mode == none."""
+    return (np.zeros(R, np.uint8), np.zeros((R, 1), np.uint8),
+            np.zeros((R, 1, MAGS), np.uint8), np.zeros((R, 1), np.uint8),
+            np.zeros(R, np.int32))
+
+
+# ---------------------------------------------------------------------------
+# device modeling / coding
+# ---------------------------------------------------------------------------
+
+def id_modeling(cfg: IdConfig, model: jax.Array, flag, dsym, dmag,
+                emat, elens):
+    """Build the per-read symbol grid and its (static) contexts/activity.
+    Returns (ctx [R, W], syms [R, W], f, c, active)."""
+    R = flag.shape[0]
+    F, M = cfg.n_fields, cfg.max_id_len
+    nb_lut = jnp.asarray(_NB_LUT)
+
+    flag_i = flag.astype(jnp.int32)
+    dsym_i = dsym.astype(jnp.int32)
+    esc = flag_i > 0
+
+    syms = jnp.concatenate([
+        flag_i[:, None], dsym_i, dmag.astype(jnp.int32).reshape(R, F * MAGS),
+        (elens & 0xFF)[:, None], ((elens >> 8) & 0xFF)[:, None],
+        emat.astype(jnp.int32)], axis=1)
+
+    col = jnp.arange(M, dtype=jnp.int32)[None, :]
+    fidx = jnp.arange(F, dtype=jnp.int32)
+    ctx = jnp.concatenate([
+        jnp.full((R, 1), CTX_FLAG, jnp.int32),
+        jnp.broadcast_to(CTX_DELTA0 + fidx[None, :], (R, F)),
+        jnp.broadcast_to(
+            CTX_MAG0 + (fidx[:, None] * MAGS
+                        + jnp.arange(MAGS)[None, :]).reshape(1, F * MAGS),
+            (R, F * MAGS)),
+        jnp.full((R, 1), CTX_LEN0, jnp.int32),
+        jnp.full((R, 1), CTX_LEN1, jnp.int32),
+        jnp.broadcast_to(CTX_BYTE0 + jnp.minimum(col, COL_BUCKETS - 1),
+                         (R, M))], axis=1)
+
+    nb = nb_lut[dsym_i]                                     # [R, F]
+    mag_act = (nb[:, :, None] > jnp.arange(MAGS)[None, None, :]).reshape(
+        R, F * MAGS)
+    active = jnp.concatenate([
+        jnp.ones((R, 1), bool),
+        jnp.broadcast_to(~esc[:, None], (R, F)),
+        mag_act & ~esc[:, None],
+        esc[:, None], esc[:, None],
+        esc[:, None] & (col < elens[:, None])], axis=1)
 
     cdf = models.model_cdf(model, ctx, cfg.scale_bits)
     f, c = models.cdf_encode_lookup(cdf, syms)
@@ -112,9 +308,10 @@ def id_modeling(cfg: IdConfig, model: jax.Array, mat: jax.Array,
     return ctx, syms, f, c, active
 
 
-def id_encode_batch(cfg: IdConfig, model: jax.Array, mat: jax.Array,
-                    lens: jax.Array):
-    ctx, syms, f, c, active = id_modeling(cfg, model, mat, lens)
+def id_encode_batch(cfg: IdConfig, model: jax.Array, flag, dsym, dmag,
+                    emat, elens):
+    ctx, syms, f, c, active = id_modeling(cfg, model, flag, dsym, dmag,
+                                          emat, elens)
     fg = common.to_grid(f, cfg.n_lanes)
     cg = common.to_grid(c, cfg.n_lanes)
     words, n_words, states = rans.rans_encode(fg, cg, cfg.scale_bits)
@@ -125,44 +322,51 @@ def id_encode_batch(cfg: IdConfig, model: jax.Array, mat: jax.Array,
 
 def id_decode_batch(cfg: IdConfig, model: jax.Array, R: int,
                     words: jax.Array, init_states: jax.Array):
-    """Returns (mat [R, M] uint8, lens [R], new_model, final_states, ptr).
-
-    Note: the (2+M)-symbol rows form one grid, so a lane's scan interleaves
-    lengths and bytes per read in the same order the encoder laid out.
-    """
+    """Decode the symbol grid. Returns (flag [R], dsym [R,F], dmag [R,F,4],
+    emat [R,M] u8, elens [R], new_model, final_states, ptr). Host
+    detokenization (decode_ids_host) turns these back into id bytes."""
     N = cfg.n_lanes
-    M = cfg.max_id_len
+    F, M = cfg.n_fields, cfg.max_id_len
     r_pl = R // N
-    W = 2 + M
+    W = cfg.w_all
     sb = cfg.scale_bits
-    len_cdf0 = models.model_cdf(model, jnp.zeros((N,), jnp.int32), sb)
-    len_cdf1 = models.model_cdf(model, jnp.ones((N,), jnp.int32), sb)
+    nb_lut = jnp.asarray(_NB_LUT)
+    i_len0 = 1 + F * (1 + MAGS)
+    i_len1 = i_len0 + 1
+    i_byte0 = i_len1 + 1
 
     def step(carry, t):
-        x, ptr, prev_row, cur_row, cur_len = carry
-        i = t % W  # 0,1 = length symbols; 2.. = byte columns
-        col = i - 2
+        x, ptr, flag_c, ds_c, len_c = carry
+        i = t % W
 
-        is_len0 = i == 0
-        is_len1 = i == 1
-        # roll rows at the start of each read
-        prev_row = jax.lax.cond(is_len0, lambda: cur_row, lambda: prev_row)
-        cur_row = jax.lax.cond(is_len0, lambda: jnp.zeros_like(cur_row),
-                               lambda: cur_row)
+        is_flag = i == 0
+        is_delta = (i >= 1) & (i <= F)
+        is_mag = (i > F) & (i < i_len0)
+        f_d = jnp.clip(i - 1, 0, F - 1)
+        f_m = jnp.clip((i - F - 1) // MAGS, 0, F - 1)
+        j_m = jnp.clip((i - F - 1) % MAGS, 0, MAGS - 1)
+        colb = jnp.minimum(jnp.maximum(i - i_byte0, 0), COL_BUCKETS - 1)
 
-        prev_col = jax.lax.cond(
-            i >= 2,
-            lambda: jax.lax.dynamic_index_in_dim(
-                prev_row, jnp.maximum(col, 0), axis=1, keepdims=False),
-            lambda: jnp.zeros((N,), jnp.int32))
-        byte_ctx = _byte_ctx(prev_col, jnp.maximum(col, 0))
-        cdf = jax.lax.cond(
-            is_len0, lambda: len_cdf0,
-            lambda: jax.lax.cond(
-                is_len1, lambda: len_cdf1,
-                lambda: models.model_cdf(model, byte_ctx, sb)))
+        ctx_s = jnp.where(
+            is_flag, CTX_FLAG,
+            jnp.where(is_delta, CTX_DELTA0 + f_d,
+                      jnp.where(is_mag, CTX_MAG0 + f_m * MAGS + j_m,
+                                jnp.where(i == i_len0, CTX_LEN0,
+                                          jnp.where(i == i_len1, CTX_LEN1,
+                                                    CTX_BYTE0 + colb)))))
+        ctx = jnp.full((N,), 0, jnp.int32) + ctx_s
 
-        active = jnp.where(i < 2, jnp.ones((N,), bool), col < cur_len)
+        esc = flag_c > 0
+        nb_f = nb_lut[jax.lax.dynamic_index_in_dim(ds_c, f_m, axis=1,
+                                                   keepdims=False)]
+        active = jnp.where(
+            is_flag, True,
+            jnp.where(is_delta, ~esc,
+                      jnp.where(is_mag, ~esc & (nb_f > j_m),
+                                jnp.where((i == i_len0) | (i == i_len1), esc,
+                                          esc & (i - i_byte0 < len_c)))))
+
+        cdf = models.model_cdf(model, ctx, sb)
         slot = rans.rans_decode_slots(x, sb)
         sym, f, c = rans.cdf_lookup(cdf, slot)
         f = jnp.where(active, f, 1 << sb)
@@ -170,29 +374,28 @@ def id_decode_batch(cfg: IdConfig, model: jax.Array, R: int,
         x, ptr = rans.rans_decode_advance(x, ptr, words, f, c, sb)
         sym = jnp.where(active, sym, 0)
 
-        cur_len = jax.lax.cond(
-            is_len0, lambda: sym,
-            lambda: jax.lax.cond(
-                is_len1, lambda: jnp.minimum(cur_len | (sym << 8), M),
-                lambda: cur_len))
-        cur_row = jax.lax.cond(
-            i >= 2,
-            lambda: jax.lax.dynamic_update_index_in_dim(
-                cur_row, jnp.where(active, sym, 0), jnp.maximum(col, 0),
-                axis=1),
-            lambda: cur_row)
-        return (x, ptr, prev_row, cur_row, cur_len), sym
+        flag_c = jnp.where(is_flag, sym, flag_c)
+        upd = jax.lax.dynamic_update_index_in_dim(ds_c, sym, f_d, axis=1)
+        ds_c = jnp.where(is_delta, upd, ds_c)
+        len_c = jnp.where(i == i_len0, sym,
+                          jnp.where(i == i_len1,
+                                    jnp.minimum(len_c | (sym << 8), M), len_c))
+        return (x, ptr, flag_c, ds_c, len_c), sym
 
-    zeros_row = jnp.zeros((N, M), jnp.int32)
-    carry0 = (init_states, jnp.int32(0), zeros_row, zeros_row,
-              jnp.zeros((N,), jnp.int32))
+    carry0 = (init_states, jnp.int32(0), jnp.zeros((N,), jnp.int32),
+              jnp.zeros((N, F), jnp.int32), jnp.zeros((N,), jnp.int32))
     (x, ptr, _, _, _), ys = jax.lax.scan(
         step, carry0, jnp.arange(r_pl * W, dtype=jnp.int32))
-    grid = common.from_grid(ys, N, W)                  # [R, 2+M]
-    lens = grid[:, 0] | (grid[:, 1] << 8)
-    lens = jnp.minimum(lens, M)
-    mat = grid[:, 2:].astype(jnp.uint8)
-    ctx, syms, _, _, active = id_modeling(cfg, model, mat, lens)
+    grid = common.from_grid(ys, N, W)                  # [R, W]
+
+    flag = grid[:, 0].astype(jnp.uint8)
+    dsym = grid[:, 1:1 + F].astype(jnp.uint8)
+    dmag = grid[:, 1 + F:i_len0].reshape(R, F, MAGS).astype(jnp.uint8)
+    elens = jnp.minimum(grid[:, i_len0] | (grid[:, i_len1] << 8), M)
+    emat = grid[:, i_byte0:].astype(jnp.uint8)
+
+    ctx, syms, _, _, active = id_modeling(cfg, model, flag, dsym, dmag,
+                                          emat, elens)
     new_model = models.model_update(
         model, ctx.reshape(-1), syms.reshape(-1), active.reshape(-1))
-    return mat, lens, new_model, x, ptr
+    return flag, dsym, dmag, emat, elens, new_model, x, ptr

@@ -68,8 +68,10 @@ class QualConfig:
     scale_bits: int = 14
     n_lanes: int = 1024
     # row-synced in-batch model deltas (see streams/dna.py): the quality
-    # model adapts within the batch at read-row granularity
-    with_local: bool = True
+    # model adapts within the batch at read-row granularity. Measured
+    # ~neutral on the standard corpus; off by default (see params.py).
+    with_local: bool = False
+    local_inc: int = 8
 
     @property
     def n_sym(self) -> int:
@@ -144,7 +146,8 @@ def qual_modeling(cfg: QualConfig, model: jax.Array, qsyms: jax.Array,
         f, c = models.cdf_encode_lookup(cdf, sym_r)
         f = jnp.where(act_r, f, 1 << cfg.scale_bits)
         c = jnp.where(act_r, c, 0)
-        lm = models.local_model_update(lm, ctx_r, sym_r, act_r)
+        lm = models.local_model_update(lm, ctx_r, sym_r, act_r,
+                                       inc=cfg.local_inc)
         return lm, (f, c)
 
     lm0 = jnp.zeros((cfg.n_ctx, cfg.n_sym), jnp.int32)
@@ -209,7 +212,8 @@ def qual_decode_batch(cfg: QualConfig, model: jax.Array, lengths: jax.Array,
         sym_r, ctx_r = sym_y.T, ctx_y.T            # [N, L]
         if cfg.with_local:
             act_r = pos_row < length[:, None]
-            lm = models.local_model_update(lm, ctx_r, sym_r, act_r)
+            lm = models.local_model_update(lm, ctx_r, sym_r, act_r,
+                                           inc=cfg.local_inc)
         return (x, ptr, lm), (sym_r, ctx_r)
 
     lm0 = jnp.zeros((cfg.n_ctx, cfg.n_sym) if cfg.with_local else (1, 1),

@@ -45,7 +45,8 @@ def test_local_row_update_matches_bruteforce():
     """local_row_update's events (fwd + rc, per table) must match a
     brute-force dict replay, and queries from a later row must see them."""
     cfg = dna.DnaConfig(siv_len=5, smer_len=7, bmer_len=10, prefix_len=4,
-                        n_lanes=4, local_log2_cells=7)  # tiny: collisions
+                        n_lanes=4, local_log2_cells=7,  # tiny: collisions
+                        local_model_inc=8)  # exercise opt-in model deltas
     rng = np.random.default_rng(7)
     N, L = 4, 24
     eff0 = rng.integers(0, 4, (N, L)).astype(np.int32)

@@ -53,15 +53,19 @@ def test_sharded_matches_local_modeling():
     codes = rng.integers(0, 4, size=(R, L)).astype(np.int32)
     lengths = np.full((R,), L, np.int32)
     qsyms = rng.integers(0, 8, size=(R, L)).astype(np.int32)
-    id_mat = np.zeros((R, 1), np.uint8)
-    id_lens = np.zeros((R,), np.int32)
+    from fqsqueezer_tpu.streams import ids as ids_mod
+
+    id_np = ids_mod.encode_ids_host(
+        [f"SIM.{r} {r}".encode() for r in range(R)],
+        ids_mod.read_lanes(R, dcfg.n_lanes), icfg.n_fields, icfg.max_id_len,
+        [None] * dcfg.n_lanes)
 
     # local reference run
     state_l = pipeline.state_create(dcfg, qcfg, icfg)
     m_l, i_l, d_l, q_l, new_l = pipeline._encode_batch(
         dcfg, qcfg, mcfg, icfg, state_l, jnp.asarray(codes),
         jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(qsyms),
-        jnp.asarray(id_mat), jnp.asarray(id_lens))
+        tuple(jnp.asarray(a) for a in id_np))
 
     # sharded run: dp=2, tp=4
     mesh = sharded.make_mesh(8, tp=4)
@@ -72,9 +76,10 @@ def test_sharded_matches_local_modeling():
                               is_leaf=lambda x: isinstance(x, P)))
     bspec = NamedSharding(mesh, P("dp"))
     enc = sharded.make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh)
+    put = lambda a: jax.device_put(jnp.asarray(a), bspec)
     m_s, i_s, d_s, q_s, new_s = enc(
-        state_s, *[jax.device_put(jnp.asarray(a), bspec)
-                   for a in (codes, codes, lengths, qsyms, id_mat, id_lens)])
+        state_s, put(codes), put(codes), put(lengths), put(qsyms),
+        tuple(put(a) for a in id_np))
 
     # identical global model state evolution (tables are laid out differently
     # across shards, but the replicated context model must match exactly)
@@ -111,8 +116,8 @@ def test_multichip_two_batch_chain():
     R = dp * dcfg.n_lanes * 2
     L = 40
 
-    b0 = ge._tiny_batch(R=R, L=L, seed=0)
-    b1 = ge._tiny_batch(R=R, L=L, seed=1)
+    b0 = ge._tiny_batch(icfg, R=R, L=L, seed=0)
+    b1 = ge._tiny_batch(icfg, R=R, L=L, seed=1)
 
     state = pipeline.state_create(dcfg, qcfg, icfg)
     sspec = sharded.state_specs(qcfg is not None, icfg is not None)
@@ -126,17 +131,19 @@ def test_multichip_two_batch_chain():
     outs = []
     st = state
     for b in (b0, b1):
-        m, i, d, q, st = enc(st, *[put(a) for a in b])
+        m, i, d, q, st = enc(st, *[put(a) for a in b[:4]],
+                             tuple(put(a) for a in b[4]))
         outs.append((m, i, d, q))
 
     dec = sharded.make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh,
                                       R // dp, L)
     st = state
     for b, (m, i, d, q) in zip((b0, b1), outs):
-        lengths, codes, qsyms, id_mat, id_lens, st = dec(
+        lengths, codes, qsyms, id_batch, st = dec(
             st, put(m[0]), put(m[2]), put(i[0]), put(i[2]),
             put(d[0]), put(d[2]), put(q[0]), put(q[2]))
         np.testing.assert_array_equal(np.asarray(codes), b[0])
         np.testing.assert_array_equal(np.asarray(lengths), b[2])
         np.testing.assert_array_equal(np.asarray(qsyms), b[3])
-        np.testing.assert_array_equal(np.asarray(id_mat), b[4])
+        for got, want in zip(id_batch, b[4]):
+            np.testing.assert_array_equal(np.asarray(got), want)

@@ -24,10 +24,12 @@ def main():
         write_fastq_corpus(CORPUS, 100_000, 100, 4_600_000, seed=42)
     data = fastq.read_fastq(CORPUS)
 
-    variants = sys.argv[1:] or ["b4k=4096:1024:22", "b32k=32768:1024:22"]
+    variants = sys.argv[1:] or ["b4k=4096:1024:22:8", "b32k=32768:1024:22:8"]
     for v in variants:
         name, spec = v.split("=")
-        batch, lanes, cells = (int(x) for x in spec.split(":"))
+        fields = [int(x) for x in spec.split(":")]
+        batch, lanes, cells = fields[:3]
+        inc = fields[3] if len(fields) > 3 else 8
         p = Params()
         p.genome_size = 5
         p.adjust_kmer_sizes()
@@ -38,6 +40,7 @@ def main():
         p.max_batch_reads = batch
         p.n_lanes = lanes
         p.local_log2_cells = cells
+        p.local_model_inc = inc
         t0 = time.time()
         stats = pipeline.compress_file(p, CORPUS, f"/tmp/ratio_{name}.fqst",
                                        data=data)

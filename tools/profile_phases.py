@@ -67,17 +67,19 @@ def main():
             lengths = pipeline._pad_batch(
                 data.lengths[start:start + take], padded).astype(np.int32)
             quals_u8 = pipeline._pad_batch(data.quals[start:start + take], padded)
-            id_mat = np.zeros((padded, 1), np.uint8)
-            id_lens = np.zeros((padded,), np.int32)
-            c_d = block(jnp.asarray(np.ascontiguousarray(codes_u8)))
-            q_d = block(jnp.asarray(np.ascontiguousarray(quals_u8)))
+            kp, nm, qp, L8 = pipeline._pack_inputs(
+                codes_u8, quals_u8, qcfg, np.asarray(qfwd_lut))
+            c_d = block(jnp.asarray(kp))
+            n_d = block(jnp.asarray(nm))
+            q_d = block(jnp.asarray(qp))
             l_d = block(jnp.asarray(lengths))
+            id_b = tuple(jnp.asarray(a)
+                         for a in pipeline.ids.zero_id_batch(padded))
             t_pad += time.time() - t0
 
             t0 = time.time()
             grids, state = pipeline._model_batch(
-                dcfg, qcfg, mcfg, icfg, state, c_d, q_d, qfwd_lut, l_d,
-                jnp.asarray(id_mat), jnp.asarray(id_lens))
+                dcfg, qcfg, mcfg, icfg, state, c_d, n_d, q_d, l_d, id_b)
             block(state.dna.model)
             block(grids[-1][0])
             t_model += time.time() - t0
