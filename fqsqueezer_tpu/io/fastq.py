@@ -227,7 +227,12 @@ def sort_order(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     # another sorts first, matching std::lexicographical_compare semantics
     key = np.where(valid, collated + 1, 0).astype(np.uint8)
     exact = np.where(valid, codes, 0).astype(np.uint8)
-    # np.lexsort: last key is primary -> order keys [exact L-1..0, key L-1..0]
-    return np.lexsort(tuple(
-        [exact[:, i] for i in range(L - 1, -1, -1)]
-        + [key[:, i] for i in range(L - 1, -1, -1)]))
+    # ONE memcmp-based argsort over fixed-width byte strings [key | exact]
+    # instead of np.lexsort's 2L stable counting passes (minutes at 1M x 150).
+    # numpy 'S' compare strips trailing NULs — order-preserving here, since 0
+    # is the padding byte and the minimum value.
+    comp = np.empty((R, 2 * L), np.uint8)
+    comp[:, :L] = key
+    comp[:, L:] = exact
+    as_str = np.frombuffer(comp.tobytes(), dtype=f"S{2 * L}")
+    return np.argsort(as_str, kind="stable")

@@ -48,6 +48,14 @@ _M7 = jnp.uint32(0x7F7F7F7F)
 _H8 = jnp.uint32(0x80808080)
 
 
+def _ctz(x: jax.Array) -> jax.Array:
+    """Count trailing zeros of a small positive int32 (x > 0, x < 2^23) via
+    the f32 exponent of the lowest set bit — avoids integer division and
+    per-slot scan passes (both measured slow on the VPU)."""
+    lsb = (x & -x).astype(jnp.float32)
+    return (jax.lax.bitcast_convert_type(lsb, jnp.int32) >> 23) - 127
+
+
 def swar_sat_add_u8(a: jax.Array, b: jax.Array) -> jax.Array:
     """Per-byte saturating add of u8x4-packed uint32 words (SWAR): the packed
     analog of `clip(unpack(a) + unpack(b), 0, 255)` without materializing 4x
@@ -58,21 +66,25 @@ def swar_sat_add_u8(a: jax.Array, b: jax.Array) -> jax.Array:
     return s | ((ov >> 7) * jnp.uint32(0xFF))   # saturate overflowed bytes
 
 
-def _scatter_delta_u16(n_words: int, idx, base, valid):
-    """Accumulate per-(word, base) increments into two u16x2-packed uint32
-    planes (bases 0|1 and 2|3), immune to per-batch overflow up to 65535
-    events per cell — then collapse to a saturated u8x4 delta word."""
+def _scatter_delta_u8(n_words: int, idx, base, valid):
+    """Accumulate per-(word, base) increments with ONE scatter into a
+    double-length plane of u16x2-packed uint32 words (word 2i = bases 0|1,
+    word 2i+1 = bases 2|3), then collapse to a saturated u8x4 delta word.
+    Scatter cost on TPU is latency-per-event (~12 ns measured), independent
+    of the target array size — so one scatter into 2n words replaces the
+    round-1 TWO scatters into n-word planes at half the cost, while keeping
+    65535 per-(cell, base) headroom (homopolymer contexts exceed 255 events
+    per batch; saturation must happen at collapse, not by byte wraparound)."""
     b = base.astype(jnp.uint32) & 3
-    inc01 = jnp.where(b < 2, jnp.uint32(1) << ((b & 1) << 4), 0)
-    inc23 = jnp.where(b >= 2, jnp.uint32(1) << ((b & 1) << 4), 0)
-    idx = jnp.where(valid, idx, n_words)
-    zeros = jnp.zeros((n_words,), jnp.uint32)
-    d01 = zeros.at[idx].add(inc01, mode="drop")
-    d23 = zeros.at[idx].add(inc23, mode="drop")
-    c0 = jnp.minimum(d01 & 0xFFFF, 255)
-    c1 = jnp.minimum(d01 >> 16, 255)
-    c2 = jnp.minimum(d23 & 0xFFFF, 255)
-    c3 = jnp.minimum(d23 >> 16, 255)
+    idx2 = idx * 2 + (b >> 1).astype(jnp.int32)
+    inc = jnp.uint32(1) << ((b & 1) << 4)
+    idx2 = jnp.where(valid, idx2, 2 * n_words)
+    d = jnp.zeros((2 * n_words,), jnp.uint32).at[idx2].add(inc, mode="drop")
+    d = d.reshape(n_words, 2)
+    c0 = jnp.minimum(d[:, 0] & 0xFFFF, 255)
+    c1 = jnp.minimum(d[:, 0] >> 16, 255)
+    c2 = jnp.minimum(d[:, 1] & 0xFFFF, 255)
+    c3 = jnp.minimum(d[:, 1] >> 16, 255)
     return c0 | (c1 << 8) | (c2 << 16) | (c3 << 24)
 
 
@@ -95,10 +107,9 @@ def siv_find(siv: jax.Array, ctx: jax.Array) -> jax.Array:
 
 def siv_update(siv: jax.Array, keys: jax.Array, valid: jax.Array) -> jax.Array:
     """Batch-increment cells. keys: [n] int32 packed (ctx<<2|base). The batch
-    delta is accumulated u16-packed and folded in with one SWAR saturating
-    sweep — half the HBM of an int32 delta plane, and counts still saturate
-    at 255 (homopolymer contexts can exceed 255 events per batch)."""
-    delta = _scatter_delta_u16(siv.shape[0], keys >> 2, keys, valid)
+    delta is accumulated u8x4-packed with one scatter and folded in with one
+    SWAR saturating sweep, so counts saturate at 255."""
+    delta = _scatter_delta_u8(siv.shape[0], keys >> 2, keys, valid)
     return swar_sat_add_u8(siv, delta)
 
 
@@ -149,12 +160,16 @@ def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
     bkt/tag may be passed precomputed (the tp-sharded path supplies local
     bucket indices after ownership masking, parallel/sharded.py).
 
-    Claim design (one round, not N): a new key picks its claim slot by
-    hash-spreading over the bucket's CURRENT empty slots (slot rank =
-    tag mod n_free), then a scatter-max of the tag resolves same-batch
-    contention deterministically (max is commutative). Distinct new keys in
-    the same bucket usually pick distinct slots, so one gather+scatter+probe
-    replaces the previous 6 claim rounds; the rare losers retry on a later
+    Claim design (2 cheap rounds, cost-tuned to the measured TPU profile —
+    scatters/gathers are latency-per-event, integer div and [n, 8]-wide
+    cumsum/argmax passes cost ~6-13 ms each at batch size): a new key picks
+    its claim slot by rotating the bucket's empty-slot BITMASK by a hash of
+    its tag and taking the first set bit (count-trailing-zeros via the f32
+    exponent — all cheap lanewise ops, no division), then a scatter-max of
+    the tag resolves same-batch contention deterministically (max is
+    commutative). Distinct new keys in the same bucket usually pick distinct
+    slots; same-slot losers see an updated bitmask next round and take the
+    next empty slot. Keys still unplaced after 2 rounds retry on a later
     recurrence, like the reference's dropped inserts (ht_kmer.h:420-438).
     """
     n = lo.shape[0]
@@ -166,22 +181,23 @@ def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
         tag = kmers.hash_tag(lo, hi)
     bkt = jnp.where(valid, bkt, 0)
 
+    weights = (jnp.int32(1) << jnp.arange(BUCKET, dtype=jnp.int32))[None, :]
+
     def claim_round(r, tags):
         row_t = tags[bkt]                           # [n, BUCKET]
-        match = row_t == tag[:, None]
-        found = jnp.any(match, axis=1) & valid
-        empty = row_t == EMPTY
-        n_free = jnp.sum(empty.astype(jnp.int32), axis=1)
-        want = valid & ~found & (n_free > 0)
-        j = ((tag + jnp.uint32(r)) %
-             jnp.maximum(n_free, 1).astype(jnp.uint32)).astype(jnp.int32)
-        erank = jnp.cumsum(empty.astype(jnp.int32), axis=1) - 1
-        slot = jnp.argmax(empty & (erank == j[:, None]), axis=1)
+        found = jnp.any(row_t == tag[:, None], axis=1) & valid
+        bm = jnp.sum(jnp.where(row_t == EMPTY, weights, 0), axis=1)  # u8 mask
+        want = valid & ~found & (bm > 0)
+        # per-round rotation from different tag bits: same-slot losers
+        # decorrelate instead of chasing the same next-empty cell
+        j = (tag >> (13 + 3 * r)).astype(jnp.int32) & (BUCKET - 1)
+        rot = ((bm >> j) | (bm << (BUCKET - j))) & ((1 << BUCKET) - 1)
+        slot = (j + _ctz(rot)) & (BUCKET - 1)
         flat_claim = jnp.where(want, bkt * BUCKET + slot, n_buckets * BUCKET)
         return tags.reshape(-1).at[flat_claim].max(tag, mode="drop").reshape(
             n_buckets, BUCKET)
 
-    tags = jax.lax.fori_loop(0, 2, claim_round, tags)
+    tags = jax.lax.fori_loop(0, 3, claim_round, tags)
 
     # re-probe (winners and their duplicates now match); u8-packed delta +
     # one SWAR saturating sweep (see siv_update)
@@ -190,7 +206,7 @@ def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
     found2 = jnp.any(match2, axis=1) & valid
     cell2 = jnp.argmax(match2, axis=1)
     flat = bkt * BUCKET + cell2
-    delta = _scatter_delta_u16(n_buckets * BUCKET, flat, base, found2)
+    delta = _scatter_delta_u8(n_buckets * BUCKET, flat, base, found2)
     cnts = swar_sat_add_u8(cnts, delta.reshape(n_buckets, BUCKET))
     return tags, cnts
 
@@ -239,6 +255,96 @@ def local_insert(tags: jax.Array, cnts: jax.Array, cell, tag, base, valid):
     ok = valid & (tags[cell] == tag)
     cnts = cnts.at[jnp.where(ok, cell, C), base].add(1, mode="drop")
     return tags, cnts
+
+
+# ---------------------------------------------------------------------------
+# PairTable: bucketed (key -> partner-minimizer, weight) slots
+# ---------------------------------------------------------------------------
+# TPU analog of the reference's PE minimizer pair table CHT_pair_kmers
+# (/root/reference/fqs/ht_kmer.h:559-663, ht_kmer.cpp:121-230): associates a
+# minimizer of one mate with minimizers of the other so the decoder can locate
+# read2's anchor from read1 alone. A slot holds (key tag, value lo, value hi,
+# weight); several slots of a bucket may share the key tag with different
+# values (the reference's multi-value find, ht_kmer.cpp:213-230). Values are
+# stored EXACTLY (2*bmer_len bits) because the decoder reconstructs the
+# anchor's bases from the chosen candidate value.
+
+def pair_create(log2_buckets: int):
+    # four DISTINCT buffers (a shared zeros array breaks jit donation)
+    return tuple(jnp.zeros((1 << log2_buckets, BUCKET), jnp.uint32)
+                 for _ in range(4))          # tags, vlo, vhi, cnt
+
+
+def pair_find(pt, klo: jax.Array, khi: jax.Array):
+    """Query keys [...]: returns (vlo, vhi, cnt) rows [..., BUCKET]; cnt is 0
+    on slots whose key tag does not match (the analog of scanning the probe
+    chain for all values of a key, ht_kmer.cpp:213-230)."""
+    tags, vlo, vhi, cnt = pt
+    log2b = tags.shape[0].bit_length() - 1
+    bkt = kmers.hash_bucket(klo, khi, log2b)
+    tag = kmers.hash_tag(klo, khi)
+    match = tags[bkt] == tag[..., None]
+    return vlo[bkt], vhi[bkt], jnp.where(match, cnt[bkt], 0)
+
+
+def pair_update(pt, klo, khi, vlo_n, vhi_n, w, valid):
+    """Batch (key -> value, weight) inserts; all [n] flat.
+
+    Slot identity is the TRIPLE (key tag, vlo, vhi), so claiming an empty
+    slot must write three words consistently. Protocol (deterministic, no
+    locks): new events claim via scatter-max of a combined 32-bit TICKET
+    (hash of tag+value) into a transient plane; re-gathered ticket == own
+    ticket elects a unique winner per slot, which then writes all three
+    identity words (same-batch duplicates of one (key, value) write
+    identical words). Weights then scatter-add for every matching event —
+    order-independent like every other table here."""
+    tags, vlo, vhi, cnt = pt
+    n_buckets = tags.shape[0]
+    log2b = n_buckets.bit_length() - 1
+    bkt = jnp.where(valid, kmers.hash_bucket(klo, khi, log2b), 0)
+    tag = kmers.hash_tag(klo, khi)
+    ticket = kmers.hash_tag(vlo_n * jnp.uint32(0x9E3779B1) ^ tag, vhi_n)
+    weights = (jnp.int32(1) << jnp.arange(BUCKET, dtype=jnp.int32))[None, :]
+    # slot rotation from the TICKET (not the key tag): same-key events with
+    # distinct values pick distinct slots in the same round
+    j = (ticket >> 13).astype(jnp.int32) & (BUCKET - 1)
+    nslots = n_buckets * BUCKET
+
+    def claim_round(r, carry):
+        tags, vlo, vhi = carry
+        row_t = tags[bkt]
+        row_l = vlo[bkt]
+        row_h = vhi[bkt]
+        found = jnp.any((row_t == tag[:, None]) & (row_l == vlo_n[:, None])
+                        & (row_h == vhi_n[:, None]), axis=1) & valid
+        bm = jnp.sum(jnp.where(row_t == EMPTY, weights, 0), axis=1)
+        want = valid & ~found & (bm > 0)
+        jr = (j + 3 * r) & (BUCKET - 1)
+        rot = ((bm >> jr) | (bm << (BUCKET - jr))) & ((1 << BUCKET) - 1)
+        slot = (jr + _ctz(rot)) & (BUCKET - 1)
+        flat = jnp.where(want, bkt * BUCKET + slot, nslots)
+        claim = jnp.zeros((nslots,), jnp.uint32).at[flat].max(
+            ticket, mode="drop")
+        win = want & (claim[jnp.minimum(flat, nslots - 1)] == ticket)
+        flat_w = jnp.where(win, bkt * BUCKET + slot, nslots)
+        tags = tags.reshape(-1).at[flat_w].set(tag, mode="drop").reshape(
+            n_buckets, BUCKET)
+        vlo = vlo.reshape(-1).at[flat_w].set(vlo_n, mode="drop").reshape(
+            n_buckets, BUCKET)
+        vhi = vhi.reshape(-1).at[flat_w].set(vhi_n, mode="drop").reshape(
+            n_buckets, BUCKET)
+        return tags, vlo, vhi
+
+    tags, vlo, vhi = jax.lax.fori_loop(0, 2, claim_round, (tags, vlo, vhi))
+
+    match2 = ((tags[bkt] == tag[:, None]) & (vlo[bkt] == vlo_n[:, None])
+              & (vhi[bkt] == vhi_n[:, None]))
+    found2 = jnp.any(match2, axis=1) & valid
+    cell2 = jnp.argmax(match2, axis=1)
+    flat2 = jnp.where(found2, bkt * BUCKET + cell2, nslots)
+    cnt = cnt.reshape(-1).at[flat2].add(w.astype(jnp.uint32), mode="drop")
+    cnt = jnp.minimum(cnt, 1 << 20).reshape(n_buckets, BUCKET)
+    return tags, vlo, vhi, cnt
 
 
 def table_fill_stats(tags: jax.Array):

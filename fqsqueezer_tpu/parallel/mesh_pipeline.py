@@ -164,8 +164,10 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
         got_crc = 0
         align = dp * N * (2 if p.dna_mode in (DnaMode.PE_ORIGINAL,
                                               DnaMode.PE_SORTED) else 1)
+        first = base._first_batch(N, p.max_batch_reads, 0, align)
         for take, L, streams in batches:
-            padded = -(-take // align) * align
+            padded = base.canonical_padded(take, first, p.max_batch_reads,
+                                           align)
             R_shard = padded // dp
             key = (R_shard, L)
             if key not in dec_cache:

@@ -38,13 +38,20 @@ class CodecState(NamedTuple):
 
 
 def make_configs(p: Params):
+    is_pe = p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
     dcfg = dna.DnaConfig(
         siv_len=p.siv_len, smer_len=p.smer_len, bmer_len=p.bmer_len,
         prefix_len=p.prefix_len, scale_bits=p.scale_bits, n_lanes=p.n_lanes,
         smer_log2_buckets=p.smer_log2_buckets,
         bmer_log2_buckets=p.bmer_log2_buckets,
         local_log2_cells=p.local_log2_cells,
-        local_model_inc=p.local_model_inc)
+        local_model_inc=p.local_model_inc,
+        # anchor machinery on the single-chip PE path only (the mesh path
+        # does not carry the pair table yet); mesh archives set mesh_dp/tp
+        # and decode through mesh_pipeline, so the flag matches both sides
+        pe_log2_buckets=(p.pe_log2_buckets
+                         if is_pe and p.mesh_dp <= 1 and p.mesh_tp <= 1
+                         else 0))
     qmode = p.quality_mode.value
     qcfg = None
     if p.quality_mode != QualityMode.NONE:
@@ -166,11 +173,27 @@ def _model_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes_pack,
         state.meta, m_ctx.reshape(-1), m_syms.reshape(-1),
         jnp.ones(m_ctx.size, dtype=bool))
 
-    eff = dna.dna_effective_kcodes(dcfg, state.dna, codes, kcodes, lengths)
-    d_ctx, d_sym, d_f, d_c, d_act = dna.dna_modeling(
-        dcfg, state.dna, codes, eff, lengths, lcp=lcp)
-    d_state = dna.dna_collect_updates(
-        dcfg, state.dna, codes, eff, lengths, d_ctx, d_sym, d_act)
+    if dcfg.pe_log2_buckets > 0:
+        # anchored 3-row recoding: the DNA codec processes codes3, the pair
+        # events and output reads stay in true interleaved layout
+        (codes3, lengths3, anchor_mask3, lcp3, pe_syms, pe_act, pe_f,
+         pe_c) = dna.dna_pe_encode(dcfg, state.dna, codes, lengths, lcp=lcp)
+        kcodes3 = jnp.where(codes3 >= 4, 0, codes3)
+        eff = dna.dna_effective_kcodes(
+            dcfg, state.dna, codes3, kcodes3, lengths3)
+        d_ctx, d_sym, d_f, d_c, d_act = dna.dna_modeling(
+            dcfg, state.dna, codes3, eff, lengths3, lcp=lcp3,
+            anchor_mask=anchor_mask3)
+        d_state = dna.dna_collect_updates(
+            dcfg, state.dna, codes3, eff, lengths3, d_ctx, d_sym, d_act,
+            pe_syms=pe_syms, pe_act=pe_act,
+            codes_true=codes, lengths_true=lengths)
+    else:
+        eff = dna.dna_effective_kcodes(dcfg, state.dna, codes, kcodes, lengths)
+        d_ctx, d_sym, d_f, d_c, d_act = dna.dna_modeling(
+            dcfg, state.dna, codes, eff, lengths, lcp=lcp)
+        d_state = dna.dna_collect_updates(
+            dcfg, state.dna, codes, eff, lengths, d_ctx, d_sym, d_act)
 
     g16 = lambda a, n: common.to_grid(a, n).astype(jnp.uint16)
     grids = [(g16(m_f, mcfg.n_lanes), g16(m_c, mcfg.n_lanes)),
@@ -192,6 +215,8 @@ def _model_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes_pack,
         grids.append((g16(i_f, icfg.n_lanes), g16(i_c, icfg.n_lanes)))
     else:
         i_model = None
+    if dcfg.pe_log2_buckets > 0:
+        grids.append((g16(pe_f, dcfg.n_lanes), g16(pe_c, dcfg.n_lanes)))
 
     new_state = CodecState(dna=d_state, meta=m_model, qual=q_model, id=i_model)
     return grids, new_state
@@ -207,32 +232,38 @@ def _rans_grid(f, c, scale_bits, init_states):
     return words.astype(jnp.uint16), n_words, st
 
 
-def _pull_words(words_u16, n: int) -> np.ndarray:
-    """Pull only a pow2-bucketed prefix of the device word buffer (the tail
-    is rANS padding): ~2x over the true size instead of the ~6x a full-cap
-    pull costs, with a bounded set of tiny slice shapes to compile."""
+def _trim_words(words_u16, n: int):
+    """Device-side slice to a pow2-bucketed prefix of the word buffer (the
+    tail is rANS padding): ~2x over the true size instead of the ~6x a
+    full-cap pull costs, with a bounded set of tiny slice shapes to compile.
+    Returns a DEVICE array — callers batch all slices into one pipelined
+    jax.device_get (the tunnel to the chip is latency-bound, so one pull of
+    many buffers beats many serial pulls)."""
     cap = words_u16.shape[0]
     k = 1024
     while k < n:
         k <<= 1
     if k >= cap:
-        return np.asarray(words_u16)
-    return np.asarray(words_u16[:k])
+        return words_u16
+    return words_u16[:k]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5),
                    donate_argnums=(6,))
 def _decode_batch(dcfg, qcfg, mcfg, icfg, R, L, state: CodecState,
                   m_words, m_states, i_words, i_states,
-                  d_words, d_states, q_words, q_states):
+                  d_words, d_states, q_words, q_states,
+                  pe_words=None, pe_states=None):
     """Decode one batch; returns the per-stream FINAL lane states so the
     caller can chain them into the next batch of the group."""
     lengths, lcp, m_model, m_x, _ = meta.meta_decode_batch(
         mcfg, state.meta, R, m_words, m_states)
     lengths = jnp.minimum(lengths, L).astype(jnp.int32)
-    codes, d_state, d_x, _, _ = dna.dna_decode_batch(
+    codes, d_state, d_x, _, d_extras = dna.dna_decode_batch(
         dcfg, state.dna, lengths, d_words, d_states, L,
-        lcp=lcp if mcfg.with_lcp else None, lcp_stride=mcfg.lcp_stride)
+        lcp=lcp if mcfg.with_lcp else None, lcp_stride=mcfg.lcp_stride,
+        pe_words=pe_words, pe_states=pe_states)
+    pe_x = d_extras[4] if dcfg.pe_log2_buckets > 0 else None
     if qcfg is not None:
         qsyms, q_model, q_x, _ = quality.qual_decode_batch(
             qcfg, state.qual, lengths, q_words, q_states, L)
@@ -249,7 +280,7 @@ def _decode_batch(dcfg, qcfg, mcfg, icfg, R, L, state: CodecState,
                            id=i_model)
     # u8 outputs keep the device->host pull at ~1 byte per base
     return (lengths, codes.astype(jnp.uint8), qsyms.astype(jnp.uint8),
-            id_batch, new_state, (m_x, d_x, q_x, i_x))
+            id_batch, new_state, (m_x, d_x, q_x, i_x, pe_x))
 
 
 def payload_crc(crc: int, codes_u8: np.ndarray, lengths: np.ndarray) -> int:
@@ -264,25 +295,40 @@ def batch_schedule(n_reads: int, n_lanes: int, max_batch: int,
                    first_batch: int = 0, align: int = 0):
     """Doubling batch sizes: [first, 2*first, ...] capped at max_batch — the
     analog of the reference's decaying sync frequency (application.h:85-92):
-    young tables sync often. Returns (start, take, padded) triples.
+    young tables sync often. Intermediate sizes are PADDED to max_batch so
+    only TWO jitted shapes exist ({first, max}): a fresh process pays two
+    encode/decode compiles instead of one per doubling step (the compile
+    service here costs minutes per shape), at the cost of masked no-op rows
+    in the few intermediate batches. Returns (start, take, padded) triples.
 
     align: pad/size granularity; PE uses 2*n_lanes so reads-per-lane stays
     even and mate pairs never straddle a lane boundary."""
     align = align or n_lanes
-    if not first_batch:
-        first_batch = max_batch // 16
-    first_batch = max(min(first_batch, max_batch), align)
-    first_batch = -(-first_batch // align) * align
+    first_batch = _first_batch(n_lanes, max_batch, first_batch, align)
     out = []
     start = 0
     size = first_batch
     while start < n_reads:
         take = min(size, n_reads - start)
-        padded = -(-take // align) * align
-        out.append((start, take, padded))
+        out.append((start, take,
+                    canonical_padded(take, first_batch, max_batch, align)))
         start += take
         size = min(size * 2, max_batch)
     return out
+
+
+def _first_batch(n_lanes: int, max_batch: int, first_batch: int, align: int):
+    if not first_batch:
+        first_batch = max_batch // 16
+    first_batch = max(min(first_batch, max_batch), align)
+    return -(-first_batch // align) * align
+
+
+def canonical_padded(take: int, first_batch: int, max_batch: int, align: int):
+    """Canonical padded shape of a batch of `take` reads — shared by encoder
+    and decoder so both jit the same two shapes."""
+    padded = -(-take // align) * align
+    return first_batch if padded <= first_batch else max_batch
 
 
 def _pad_batch(arr: np.ndarray, padded: int):
@@ -324,15 +370,19 @@ def compress_file(p: Params, in_path: str, out_path: str,
 
     dcfg, qcfg, mcfg, icfg = make_configs(p)
     state = state_create(dcfg, qcfg, icfg)
-    n_streams = 2 + (qcfg is not None) + (icfg is not None)
+    with_pe_stream = dcfg.pe_log2_buckets > 0
+    n_streams = (2 + (qcfg is not None) + (icfg is not None)
+                 + with_pe_stream)
 
     qfwd_np = (quality.qual_maps(qcfg.mode, qcfg.qt)[0]
                if qcfg is not None else None)
 
     writer = archive.ArchiveWriter(out_path, p.store_params())
     R_total = data.n_reads
-    stream_bytes = {"meta": 0, "dna": 0, "qual": 0, "id": 0, "states": 0}
-    skeys = ["meta", "dna"] + (["qual"] if qcfg else []) + (["id"] if icfg else [])
+    stream_bytes = {"meta": 0, "dna": 0, "qual": 0, "id": 0, "pe": 0,
+                    "states": 0}
+    skeys = (["meta", "dna"] + (["qual"] if qcfg else [])
+             + (["id"] if icfg else []) + (["pe"] if with_pe_stream else []))
 
     group_fc = []      # per batch: [ (f u16, c u16) per stream ]
     group_meta = []    # per batch: (take, L)
@@ -357,14 +407,18 @@ def compress_file(p: Params, in_path: str, out_path: str,
                 words, n_words, st = _rans_grid(f16, c16, p.scale_bits, st)
                 per_batch_dev[k][si] = (words, n_words)
             states_out.append(st)
-        states_out = [np.asarray(st) for st in states_out]
         ns = jax.device_get([d[1] for row in per_batch_dev for d in row])
+        trimmed = [
+            _trim_words(per_batch_dev[k][si][0], int(ns[k * n_streams + si]))
+            for k in range(len(group_meta)) for si in range(n_streams)]
+        # ONE pipelined pull for states + all word buffers (async copies are
+        # issued for every leaf before the first blocking read)
+        states_out, pulled = jax.device_get((states_out, trimmed))
         per_batch_words = [[None] * n_streams for _ in group_meta]
         for k in range(len(group_meta)):
             for si in range(n_streams):
                 n = int(ns[k * n_streams + si])
-                per_batch_words[k][si] = (
-                    _pull_words(per_batch_dev[k][si][0], n), n)
+                per_batch_words[k][si] = (pulled[k * n_streams + si], n)
                 stream_bytes[skeys[si]] += 2 * n
         stream_bytes["states"] += 4 * p.n_lanes * n_streams
         writer.write_group(
@@ -411,10 +465,11 @@ def compress_file(p: Params, in_path: str, out_path: str,
         crc_codes = (codes_u8 if codes_u8.shape[1] == L8 else
                      np.pad(codes_u8, ((0, 0), (0, L8 - codes_u8.shape[1]))))
         group_crc = payload_crc(group_crc, crc_codes[:take], lengths[:take])
+        # one pipelined host->device push per batch (tunnel latency-bound)
+        kp_d, nm_d, qp_d, len_d, id_d = jax.device_put(
+            (kp, nm, qp, lengths, tuple(id_np)))
         grids, state = _model_batch(
-            dcfg, qcfg, mcfg, icfg, state,
-            jnp.asarray(kp), jnp.asarray(nm), jnp.asarray(qp),
-            jnp.asarray(lengths), tuple(jnp.asarray(a) for a in id_np))
+            dcfg, qcfg, mcfg, icfg, state, kp_d, nm_d, qp_d, len_d, id_d)
         group_fc.append(grids)   # device-resident uint16 grids
         group_meta.append((take, L8))
         group_bytes += sum(f.size * 2 + c.size * 2 for f, c in grids)
@@ -482,14 +537,15 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
         align = (2 * p.n_lanes
                  if p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
                  else p.n_lanes)
+        first = _first_batch(p.n_lanes, p.max_batch_reads, 0, align)
         for take, L, streams in batches:
-            padded = -(-take // align) * align
+            padded = canonical_padded(take, first, p.max_batch_reads, align)
             cap = padded * max(L, 2)
 
             def fit(words, cap):
                 w = np.zeros((cap,), np.uint32)
                 w[:words.shape[0]] = words
-                return jnp.asarray(w)
+                return w
 
             si = 0
             m_words, _ = streams[si]; m_states = cur[si]; si += 1
@@ -506,27 +562,40 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
                 i_words = np.zeros((0,), np.uint32)
                 i_states = jnp.zeros((0,), jnp.uint32)
                 i_cap = 0
+            with_pe_stream = dcfg.pe_log2_buckets > 0
+            if with_pe_stream:
+                pe_words, _ = streams[si]; pe_states = cur[si]; si += 1
+                pe_cap = 2 * padded + 4 * p.n_lanes
+            else:
+                pe_words = np.zeros((0,), np.uint32)
+                pe_states = None
+                pe_cap = 0
 
+            # one pipelined host->device push per batch (tunnel latency-bound)
+            m_w, i_w, d_w, q_w, pe_w = jax.device_put(
+                (fit(m_words, mcfg.n_per_read * padded),
+                 fit(i_words, i_cap), fit(d_words, cap), fit(q_words, cap),
+                 fit(pe_words, pe_cap)))
             (lengths, codes, qsyms, id_batch, state,
-             (m_x, d_x, q_x, i_x)) = _decode_batch(
+             (m_x, d_x, q_x, i_x, pe_x)) = _decode_batch(
                 dcfg, qcfg, mcfg, icfg, padded, L, state,
-                fit(m_words, mcfg.n_per_read * padded), m_states,
-                fit(i_words, i_cap), i_states,
-                fit(d_words, cap), d_states,
-                fit(q_words, cap), q_states)
+                m_w, m_states, i_w, i_states, d_w, d_states, q_w, q_states,
+                pe_w if with_pe_stream else None, pe_states)
             nxt = [m_x, d_x]
             if qcfg is not None:
                 nxt.append(q_x)
             if icfg is not None:
                 nxt.append(i_x)
+            if with_pe_stream:
+                nxt.append(pe_x)
             cur = nxt
-            codes_np = np.asarray(codes[:take])
-            lengths_np = np.asarray(lengths[:take])
+            # one pipelined device->host pull per batch
+            codes_np, lengths_np, qsyms_np, id_batch = jax.device_get(
+                (codes[:take], lengths[:take], qsyms[:take], id_batch))
             # mask padding columns like the encoder's input matrices
             poscols = np.arange(codes_np.shape[1])[None, :]
             codes_np = np.where(poscols < lengths_np[:, None], codes_np, 0)
             got_crc = payload_crc(got_crc, codes_np, lengths_np)
-            qsyms_np = np.asarray(qsyms[:take])
             if qrev is not None:
                 quals_np = qrev[qsyms_np].astype(np.uint8)
             else:

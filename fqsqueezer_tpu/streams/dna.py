@@ -82,6 +82,9 @@ class DnaConfig:
     # in-batch model-delta increment (0 disables model deltas; measured a
     # net ratio LOSS on the standard corpus — see params.py)
     local_model_inc: int = 0
+    # PE minimizer pair table (reference CHT_pair_kmers, ht_kmer.h:559-663);
+    # 0 disables the anchor machinery (SE modes, and the mesh path for now)
+    pe_log2_buckets: int = 0
 
 
 class DnaState(NamedTuple):
@@ -91,15 +94,24 @@ class DnaState(NamedTuple):
     b_tags: jax.Array
     b_cnts: jax.Array
     model: jax.Array  # [N_MODEL_CTX, A_SYM]
+    # PE anchor state: (pair tags, vlo, vhi, cnt, pe stream model) or None
+    pe: tuple | None = None
 
 
 def dna_state_create(cfg: DnaConfig) -> DnaState:
     s_tags, s_cnts = tables.table_create(cfg.smer_log2_buckets)
     b_tags, b_cnts = tables.table_create(cfg.bmer_log2_buckets)
+    pe_state = None
+    if cfg.pe_log2_buckets > 0:
+        from . import pe as _pe
+
+        pe_state = tables.pair_create(cfg.pe_log2_buckets) + (
+            models.model_create(_pe.PE_N_CTX, _pe.PE_N_SYM),)
     return DnaState(
         siv=tables.siv_create(cfg.siv_len),
         s_tags=s_tags, s_cnts=s_cnts, b_tags=b_tags, b_cnts=b_cnts,
         model=models.model_create(N_MODEL_CTX, A_SYM),
+        pe=pe_state,
     )
 
 
@@ -406,7 +418,7 @@ def _letters_plane(codes, pos, pb):
 
 
 def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
-                 be=tables.LOCAL, lcp=None):
+                 be=tables.LOCAL, lcp=None, anchor_mask=None):
     """Compute per-position (ctx, coded symbol, freq, cum) for a whole batch.
 
     codes/kcodes: [R, L] int32; lengths: [R] int32. lcp (sorted mode): [R]
@@ -426,6 +438,9 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
     lens = lengths[:, None]
     active = pos < lens
     code_active = active if lcp is None else active & (pos >= lcp[:, None])
+    if anchor_mask is not None:
+        # PE anchor span: preset from the candidate value, never coded
+        code_active = code_active & ~anchor_mask
     pb = _pos_bucket(pos, lens)
     let_ctx = _letters_plane(codes, pos, pb)
 
@@ -471,17 +486,57 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
     return fb(ctx_b), fb(sym_b), fb(f_b), fb(c_b), code_active
 
 
+def dna_pe_encode(cfg: DnaConfig, state: DnaState, codes, lengths, lcp=None):
+    """Encoder-side PE anchor pass over an interleaved batch (reference
+    CompressPE, dna.cpp:1790-1872): find anchors against the batch-frozen
+    pair table, emit the (id, pos) PE-stream symbols, and build the anchored
+    3-row recoding (expand_pe_rows) that the DNA codec actually processes.
+
+    Returns (codes3 [R3, L], lengths3 [R3], anchor_mask3 [R3, L],
+    lcp3 [R3] | None, pe_syms [P, 3], pe_act [P, 3], f [P, 3], c [P, 3])."""
+    from . import pe as _pe
+
+    B = cfg.bmer_len
+    R, L = codes.shape
+    raw_k = jnp.where(codes >= 4, 0, codes)
+    cand_any, mid, pos, a_lo, a_hi = _pe.find_anchors(
+        state.pe[:4], codes, raw_k, lengths, B)
+    has = cand_any & (mid < _pe.N_CAND)
+    codes3, lengths3 = _pe.expand_pe_rows(codes, lengths, pos, has, B)
+    anchor_mask3 = _pe.expand_lengths_mask(codes3.shape[0], L, has, B)
+    lcp3 = None
+    if lcp is not None:
+        lcp3 = jnp.zeros((codes3.shape[0],), jnp.int32).at[0::3].set(
+            lcp[0::2])
+    pe_syms = jnp.stack([mid, pos & 0xFF, (pos >> 8) & 0xFF], axis=-1)
+    pe_act = jnp.stack([cand_any, has, has], axis=-1)
+    ctx3 = jnp.broadcast_to(
+        jnp.arange(_pe.PE_N_CTX, dtype=jnp.int32)[None, :], pe_syms.shape)
+    cdf = models.model_cdf(state.pe[4], ctx3, cfg.scale_bits)
+    f, c = models.cdf_encode_lookup(cdf, pe_syms)
+    f = jnp.where(pe_act, f, 1 << cfg.scale_bits)
+    c = jnp.where(pe_act, c, 0)
+    return codes3, lengths3, anchor_mask3, lcp3, pe_syms, pe_act, f, c
+
+
 # ---------------------------------------------------------------------------
 # shared state evolution
 # ---------------------------------------------------------------------------
 
 def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
-                        ctx_all, sym_enc, code_active, be=tables.LOCAL) -> DnaState:
+                        ctx_all, sym_enc, code_active, be=tables.LOCAL,
+                        pe_syms=None, pe_act=None,
+                        codes_true=None, lengths_true=None) -> DnaState:
     """Apply one batch's k-mer/model statistics (both strands; reference
     queues inserts per owner shard, dna.cpp:810-852, and SIV inserts both
     strands, bit_vec semantics). Model updates count only CODED positions
     (code_active); k-mer tables ingest every in-length position, including
-    sorted-mode copied prefixes."""
+    sorted-mode copied prefixes.
+
+    With the PE anchor machinery on (cfg.pe_log2_buckets > 0) this also
+    cross-inserts the batch's minimizer pair events (reference
+    append_pe_mers3, dna.cpp:1058-1136) and, when pe_syms/pe_act [P, 3] are
+    given, evolves the PE stream model (id + pos bytes)."""
     R, L = codes.shape
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     active = pos < lengths[:, None]
@@ -515,8 +570,29 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
     s_tags, s_cnts = upd(state.s_tags, state.s_cnts, cfg.smer_len, cfg.smer_log2_buckets)
     b_tags, b_cnts = upd(state.b_tags, state.b_cnts, cfg.bmer_len, cfg.bmer_log2_buckets)
 
+    pe_state = state.pe
+    if cfg.pe_log2_buckets > 0:
+        from . import pe as _pe
+
+        # pair events come from the TRUE interleaved reads (the main args
+        # are the anchored 3-row recoding in PE mode)
+        c_t = codes if codes_true is None else codes_true
+        l_t = lengths if lengths_true is None else lengths_true
+        raw_k = jnp.where(c_t >= 4, 0, c_t)
+        ev = _pe.pair_events(c_t, raw_k, l_t, cfg.bmer_len)
+        pair = tables.pair_update(state.pe[:4], *ev)
+        pe_model = state.pe[4]
+        if pe_syms is not None:
+            ctx3 = jnp.broadcast_to(
+                jnp.arange(_pe.PE_N_CTX, dtype=jnp.int32)[None, :],
+                pe_syms.shape)
+            pe_model = models.model_update(
+                pe_model, ctx3.reshape(-1), pe_syms.reshape(-1),
+                pe_act.reshape(-1))
+        pe_state = pair + (pe_model,)
+
     return DnaState(siv=siv, s_tags=s_tags, s_cnts=s_cnts,
-                    b_tags=b_tags, b_cnts=b_cnts, model=model)
+                    b_tags=b_tags, b_cnts=b_cnts, model=model, pe=pe_state)
 
 
 def dna_apply_batch(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
@@ -550,7 +626,8 @@ def dna_encode_batch(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
 
 def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_states,
                      L: int, be=tables.LOCAL, apply_update: bool = True,
-                     lcp=None, lcp_stride: int = 1):
+                     lcp=None, lcp_stride: int = 1,
+                     pe_words=None, pe_states=None):
     """Decode a batch. lengths: [R] int32 (R multiple of n_lanes), words:
     [W] uint32 stream, init_states: [N] uint32 (encoder's final states).
     lcp (sorted mode): [R] — positions < lcp are copied from the previous
@@ -563,21 +640,43 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
     function the encoder's dna_modeling row scan uses), so both sides see
     bit-identical local statistics.
 
+    PE anchor machinery (cfg.pe_log2_buckets > 0 and pe_words/pe_states
+    given): after each EVEN row (read1) decodes, its minimizer candidates
+    are recomputed from the decoded bases (the reference's decoder symmetry,
+    dna.cpp:1931-2044), 3 symbols (candidate id + anchor position) are
+    decoded from the dedicated PE stream, and the following read2 row takes
+    its anchor span [a, a+B) verbatim from the candidate value instead of
+    entropy-decoding it.
+
     Returns (codes [R, L] int32, new_state, final_states, n_words_consumed,
-    extras) where extras = (eff, ctx_all, sym, code_active) — everything a
-    caller needs to apply table/model updates without re-deriving contexts
-    (the encoder's modeling pass is not repeated on the decode side).
+    extras) where extras = (eff, ctx_all, sym, code_active[, pe_x]) —
+    everything a caller needs to apply table/model updates without
+    re-deriving contexts (the encoder's modeling pass is not repeated on the
+    decode side).
     """
     N = cfg.n_lanes
     R = lengths.shape[0]
     r_pl = R // N
-    lengths_grid = common.to_read_grid(lengths, N)  # [N, r_pl]
+    lengths_grid = common.to_read_grid(lengths, N)  # [N, r_pl] TRUE lengths
     with_lcp = lcp is not None
     with_local = cfg.local_log2_cells > 0
-    lcp_grid = common.to_read_grid(lcp, N) if with_lcp else None
+    with_pe = cfg.pe_log2_buckets > 0 and pe_words is not None
+    if with_pe:
+        from . import pe as _pe
+    # in PE-anchor mode the scan walks the anchored 3-row recoding
+    # (read1 / rowA / rowB per pair, see pe.expand_pe_rows)
+    n_rows = (3 * (R // 2)) // N if with_pe else r_pl
+    if with_lcp and with_pe:
+        lcp3 = jnp.zeros((3 * (R // 2),), jnp.int32).at[0::3].set(lcp[0::2])
+        lcp_grid = common.to_read_grid(lcp3, N)        # [N, n_rows]
+    elif with_lcp:
+        lcp_grid = common.to_read_grid(lcp, N)
+    else:
+        lcp_grid = None
     sb = cfg.scale_bits
     m = cfg.local_log2_cells
     pos_row = jnp.arange(L, dtype=jnp.int32)[None, :]
+    B_anch = cfg.bmer_len
 
     pm_mask = jnp.uint32(4 ** (cfg.siv_len - 1) - 1)
     s_w = cfg.smer_len - 1
@@ -593,13 +692,32 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
     b_mlo, b_mhi = key_mask(b_w)
 
     def outer(carry, rd):
-        (x, ptr, pkey, slo, shi, blo, bhi, prev2_row, prev_row, loc) = carry
-        length = jax.lax.dynamic_index_in_dim(lengths_grid, rd, axis=1,
+        (x, ptr, pkey, slo, shi, blo, bhi, prev_rows, loc, pe_c) = carry
+        if with_pe:
+            (pe_x, pe_ptr, anc_lo, anc_hi, anc_start, anc_has,
+             lenA, lenB) = pe_c
+            k3 = rd % 3
+            q2 = 2 * (rd // 3)
+            L1 = jax.lax.dynamic_index_in_dim(lengths_grid, q2, axis=1,
                                               keepdims=False)
+            L2 = jax.lax.dynamic_index_in_dim(lengths_grid, q2 + 1, axis=1,
+                                              keepdims=False)
+            length = jnp.where(k3 == 0, L1, jnp.where(k3 == 1, lenA, lenB))
+            anchor_row = anc_has & (k3 != 0)
+            row_is_B = k3 == 2
+        else:
+            length = jax.lax.dynamic_index_in_dim(lengths_grid, rd, axis=1,
+                                                  keepdims=False)
+            anchor_row = jnp.zeros((N,), bool)
+            anc_lo = anc_hi = jnp.zeros((N,), jnp.uint32)
+            row_is_B = jnp.zeros((N,), bool)
         if with_lcp:
             my_lcp = jax.lax.dynamic_index_in_dim(lcp_grid, rd, axis=1,
                                                   keepdims=False)
-            src_row = prev2_row if lcp_stride == 2 else prev_row
+            # prefix source: previous read1 in the lane — 3 expanded rows
+            # back in PE-anchor mode, lcp_stride true rows otherwise
+            stride_rows = 3 if with_pe else lcp_stride
+            src_row = prev_rows[stride_rows - 1]
         else:
             my_lcp = jnp.zeros((N,), jnp.int32)
             src_row = jnp.zeros((N, 1), jnp.int32)
@@ -612,6 +730,15 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             prefix_base = (jax.lax.dynamic_index_in_dim(
                 src_row, i, axis=1, keepdims=False) if with_lcp
                 else jnp.zeros((N,), jnp.int32))
+            if with_pe:
+                in_anchor = anchor_row & (i < B_anch) & active
+                symA = _pe.anchor_base(anc_lo, anc_hi, i, B_anch)
+                symB = _pe.comp_codes(_pe.anchor_base(
+                    anc_lo, anc_hi, B_anch - 1 - i, B_anch))
+                anchor_sym = jnp.where(row_is_B, symB, symA)
+            else:
+                in_anchor = jnp.zeros_like(active)
+                anchor_sym = jnp.zeros((N,), jnp.int32)
 
             vp = jnp.broadcast_to((i >= cfg.siv_len - 1) & active, x.shape)
             vs = jnp.broadcast_to((i >= s_w) & active, x.shape)
@@ -648,13 +775,14 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
                 cdf = models.model_cdf(state.model, ctx_all, sb)
             slot = rans.rans_decode_slots(x, sb)
             sym, f, c = rans.cdf_lookup(cdf, slot)
-            coded = active & ~in_prefix
+            coded = active & ~in_prefix & ~in_anchor
             f = jnp.where(coded, f, 1 << sb)
             c = jnp.where(coded, c, 0)
             x, ptr = rans.rans_decode_advance(x, ptr, words, f, c, sb)
 
             base = jnp.where(use_code, _base_of_rank(counts, sym), sym)
             base = jnp.where(in_prefix, prefix_base, base)
+            base = jnp.where(in_anchor, anchor_sym, base)
             base = jnp.where(active, base, 0)
             # repair triggers on GLOBAL counts only (the encoder's
             # dna_effective_kcodes runs before any local statistics)
@@ -673,7 +801,7 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             rbit = (use_code & (sym > 0) & coded).astype(jnp.int32)
             rh = ((rh << 1) | rbit) & 0xF
 
-            ys = (base, kc.astype(jnp.int32), ctx_all, sym)
+            ys = (base, kc.astype(jnp.int32), ctx_all, sym, in_anchor)
             return (x, ptr, pkey, slo, shi, blo, bhi, lh, rh, rep_cnt), ys
 
         zeros_i = jnp.zeros((N,), jnp.int32)
@@ -685,36 +813,131 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
         eff_r = ys[1].T
         ctx_r = ys[2].T
         sym_r = ys[3].T
+        anch_r = ys[4].T
         if with_local:
             act_r = pos_row < length[:, None]
             if with_lcp:
                 act_r = act_r & (pos_row >= my_lcp[:, None])
             loc = local_row_update(cfg, loc[0], loc[1], loc[2], eff_r, ctx_r,
                                    sym_r, act_r, length)
-        prev2_row, prev_row = prev_row, base_r if with_lcp else prev_row
-        return (x, ptr, pkey, slo, shi, blo, bhi, prev2_row, prev_row,
-                loc), (base_r, eff_r, ctx_r, sym_r)
+        if with_lcp:
+            prev_rows = (base_r,) + prev_rows[:-1]
+
+        pe_syms_row = jnp.zeros((N, 3), jnp.int32)
+        pe_act_row = jnp.zeros((N, 3), bool)
+        pe_meta_row = jnp.zeros((N, 2), jnp.int32)   # (a_start, has)
+        if with_pe:
+            # a read1 row just decoded: recompute its candidates from the
+            # decoded bases, decode (id, pos lo, pos hi) from the PE stream,
+            # and arm the anchor for the pair's rowA/rowB (all no-ops on
+            # rowA/rowB boundaries via the k3 mask)
+            raw_k = jnp.where(base_r >= 4, 0, base_r)
+            q_lo, q_hi = _pe.segment_minimizers(
+                base_r, raw_k, length, B_anch, 4)
+            c_lo, c_hi, c_cnt = _pe.find_candidates(
+                state.pe[:4], q_lo, q_hi, B_anch)
+            cand_any = jnp.any(c_cnt > 0, axis=-1) & (k3 == 0)
+
+            pe_model = state.pe[4]
+            syms3 = []
+            mid = jnp.full((N,), _pe.N_CAND, jnp.int32)
+            for j in range(3):
+                cdfj = models.model_cdf(
+                    pe_model, jnp.full((N,), j, jnp.int32), sb)
+                act = cand_any if j == 0 else cand_any & (mid < _pe.N_CAND)
+                slot = rans.rans_decode_slots(pe_x, sb)
+                symj, fj, cj = rans.cdf_lookup(cdfj, slot)
+                fj = jnp.where(act, fj, 1 << sb)
+                cj = jnp.where(act, cj, 0)
+                pe_x, pe_ptr = rans.rans_decode_advance(
+                    pe_x, pe_ptr, pe_words, fj, cj, sb)
+                symj = jnp.where(act, symj, 0)
+                if j == 0:
+                    mid = jnp.where(cand_any, symj, _pe.N_CAND)
+                syms3.append(symj)
+            pos_dec = syms3[1] | (syms3[2] << 8)
+            g = lambda c: jnp.take_along_axis(
+                c, jnp.minimum(mid, _pe.N_CAND - 1)[:, None], axis=-1)[:, 0]
+            new_has = cand_any & (mid < _pe.N_CAND)
+            anc_lo2 = jnp.where(new_has, g(c_lo), 0)
+            anc_hi2 = jnp.where(new_has, g(c_hi), 0)
+            a_eff = jnp.where(new_has, pos_dec, 0)
+            # row lengths of the pair's expanded rows (expand_pe_rows rules)
+            lenA2 = L2 - a_eff
+            lenB2 = jnp.where(new_has, jnp.minimum(a_eff + B_anch, L2), 0)
+            # arm only at read1 boundaries; rowA keeps the carry for rowB
+            keep = k3 != 0
+            pe_c = (pe_x, pe_ptr,
+                    jnp.where(keep, anc_lo, anc_lo2),
+                    jnp.where(keep, anc_hi, anc_hi2),
+                    jnp.where(keep, anc_start, a_eff),
+                    jnp.where(keep, anc_has, new_has),
+                    jnp.where(keep, lenA, lenA2),
+                    jnp.where(keep, lenB, lenB2))
+            pe_syms_row = jnp.stack([mid, syms3[1], syms3[2]], axis=-1)
+            pe_act_row = jnp.stack([cand_any, new_has, new_has], axis=-1)
+            pe_meta_row = jnp.stack(
+                [a_eff, new_has.astype(jnp.int32)], axis=-1)
+
+        return (x, ptr, pkey, slo, shi, blo, bhi, prev_rows,
+                loc, pe_c), (base_r, eff_r, ctx_r, sym_r, anch_r,
+                             pe_syms_row, pe_act_row, pe_meta_row, length)
 
     zeros_u = jnp.zeros((N,), jnp.uint32)
     row0 = (jnp.zeros((N, L), jnp.int32) if with_lcp
             else jnp.zeros((N, 1), jnp.int32))
+    prev0 = (row0, row0, row0) if with_lcp else (row0,)
     loc0 = _local_state_create(cfg) if with_local else ()
+    zeros_i0 = jnp.zeros((N,), jnp.int32)
+    pe_c0 = ((pe_states, jnp.int32(0), zeros_u, zeros_u, zeros_i0,
+              jnp.zeros((N,), bool), zeros_i0, zeros_i0)
+             if with_pe else ())
     carry0 = (init_states, jnp.int32(0), zeros_u, zeros_u, zeros_u,
-              zeros_u, zeros_u, row0, row0, loc0)
-    carry, ys = jax.lax.scan(outer, carry0, jnp.arange(r_pl, dtype=jnp.int32))
+              zeros_u, zeros_u, prev0, loc0, pe_c0)
+    carry, ys = jax.lax.scan(outer, carry0, jnp.arange(n_rows, dtype=jnp.int32))
     x, ptr = carry[0], carry[1]
 
-    codes = common.from_row_blocks(ys[0])
+    codes = common.from_row_blocks(ys[0])      # [R3, L] in PE-anchor mode
     eff = common.from_row_blocks(ys[1])
     ctx_all = common.from_row_blocks(ys[2])
     sym = common.from_row_blocks(ys[3])
+    pe_syms = pe_act = None
+    pe_extra = ()
+    if with_pe:
+        from . import pe as _pe
+
+        lengths3 = ys[8].swapaxes(0, 1).reshape(-1)        # [R3]
+        code_active = (pos_row < lengths3[:, None]) \
+            & ~common.from_row_blocks(ys[4])
+        if with_lcp:
+            code_active = code_active & (pos_row >= lcp3[:, None])
+        # read1-boundary (id, pos) symbols and (a, has) in pair order [P, .]
+        pe_syms = ys[5][0::3].swapaxes(0, 1).reshape(-1, 3)
+        pe_act = ys[6][0::3].swapaxes(0, 1).reshape(-1, 3)
+        pe_meta = ys[7][0::3].swapaxes(0, 1).reshape(-1, 2)
+        a_pairs = pe_meta[:, 0]
+        has_pairs = pe_meta[:, 1] > 0
+        codes_true = _pe.collapse_pe_rows(codes, lengths, a_pairs,
+                                          has_pairs, B_anch)
+        pe_extra = (carry[9][0],)              # final PE lane states
+        extras = (eff, ctx_all, sym, code_active) + pe_extra
+        if apply_update:
+            new_state = dna_collect_updates(
+                cfg, state, codes, eff, lengths3, ctx_all, sym, code_active,
+                be, pe_syms=pe_syms, pe_act=pe_act,
+                codes_true=codes_true, lengths_true=lengths)
+        else:
+            new_state = state
+        return codes_true, new_state, x, ptr, extras
+
     code_active = pos_row < lengths[:, None]
     if with_lcp:
         code_active = code_active & (pos_row >= lcp[:, None])
     extras = (eff, ctx_all, sym, code_active)
     if apply_update:
         new_state = dna_collect_updates(cfg, state, codes, eff, lengths,
-                                        ctx_all, sym, code_active, be)
+                                        ctx_all, sym, code_active, be,
+                                        pe_syms=None, pe_act=None)
     else:
         new_state = state
     return codes, new_state, x, ptr, extras

@@ -82,3 +82,55 @@ def test_pe_mismatched_counts_raises(tmp_path):
     p = pe_params(dna_mode=DnaMode.PE_ORIGINAL)
     with pytest.raises(ValueError, match="mate counts differ"):
         pipeline.compress_pe(p, p1, p2, str(tmp_path / "x.fqst"))
+
+
+def test_pe_anchor_machinery_reduces_dna_stream(tmp_path):
+    """With recurring fragments, the minimizer pair table must find anchors
+    and shrink read2 coding (the anchor span is never entropy-coded);
+    round-trip stays byte-exact. Compares pe_log2_buckets on vs off."""
+    # high duplication: few fragments, many repeats -> pair table hits
+    rng = np.random.default_rng(11)
+    genome = rng.integers(0, 4, size=4000)
+    read_len = 70
+    f1, f2 = [], []
+    frags = [rng.integers(0, len(genome) - 300) for _ in range(40)]
+    for i in range(600):
+        frag = frags[rng.integers(0, len(frags))]
+        r1 = genome[frag:frag + read_len]
+        r2e = genome[frag + 200:frag + 200 + read_len]
+        r2 = (3 - r2e)[::-1]
+        s1 = "".join("ACGT"[b] for b in r1)
+        s2 = "".join("ACGT"[b] for b in r2)
+        q = "I" * read_len
+        f1 += [f"@D.{i}", s1, "+", q]
+        f2 += [f"@D.{i}", s2, "+", q]
+    p1 = str(tmp_path / "d1.fastq")
+    p2 = str(tmp_path / "d2.fastq")
+    open(p1, "w").write("\n".join(f1) + "\n")
+    open(p2, "w").write("\n".join(f2) + "\n")
+
+    sizes = {}
+    for peb in (0, 14):
+        p = pe_params(dna_mode=DnaMode.PE_ORIGINAL, pe_log2_buckets=peb,
+                      quality_mode=QualityMode.NONE, id_mode=IdMode.NONE)
+        arc = str(tmp_path / f"pe{peb}.fqst")
+        stats = pipeline.compress_pe(p, p1, p2, arc)
+        sizes[peb] = stats["stream_bytes"]["dna"] + stats["stream_bytes"]["pe"]
+        o1 = str(tmp_path / f"a{peb}_1.fastq")
+        o2 = str(tmp_path / f"a{peb}_2.fastq")
+        pipeline.decompress_file(Params(), arc, o1, o2)
+        d1 = fastq.read_fastq(p1)
+        g1 = fastq.read_fastq(o1)
+        assert [bytes(d1.codes[i, :d1.lengths[i]])
+                for i in range(d1.n_reads)] == \
+               [bytes(g1.codes[i, :g1.lengths[i]])
+                for i in range(g1.n_reads)]
+        d2r = fastq.read_fastq(p2)
+        g2 = fastq.read_fastq(o2)
+        assert [bytes(d2r.codes[i, :d2r.lengths[i]])
+                for i in range(d2r.n_reads)] == \
+               [bytes(g2.codes[i, :g2.lengths[i]])
+                for i in range(g2.n_reads)]
+    # the anchored 3-row recoding (cold-prefix elimination + seeded
+    # context) must beat un-anchored PE net of the pe stream's own cost
+    assert sizes[14] < 0.95 * sizes[0], sizes
