@@ -125,11 +125,53 @@ def table_create(log2_buckets: int):
     return tags, cnts
 
 
-def table_find(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array):
-    """Query contexts. lo/hi: [...] uint32 key pair.
+def bucket_of(lo, hi, log2_buckets: int, log2_base: int):
+    """Bucket index of a key in a table grown from 2^log2_base to
+    2^log2_buckets buckets. Up to the creation size the bucket comes from
+    the bucket hash; growth bits come from TAG bits [23..27), so a stored
+    cell's new bucket after a regrow is derivable from (bucket, tag) alone —
+    cells keep only 32-bit tags, not keys (the analog of the reference's
+    restruct, ht_kmer.h:88-112, which rehashes full keys)."""
+    b = kmers.hash_bucket(lo, hi, min(log2_buckets, log2_base))
+    grow = log2_buckets - log2_base
+    if grow > 0:
+        t = kmers.hash_tag(lo, hi)
+        ext = ((t >> 23) & jnp.uint32((1 << grow) - 1)).astype(jnp.int32)
+        b = b | (ext << log2_base)
+    return b
+
+
+def table_grow(tags: jax.Array, cnts: jax.Array, log2_base: int):
+    """Double the bucket count at a group boundary (the reference's
+    coordinated restruct behind barriers, application.cpp:894-902): every
+    cell moves to bucket (old | growth_bit << old_log2), keeping its slot.
+    Deterministic — the decoder replays the same rule on the same state."""
+    n_buckets = tags.shape[0]
+    log2b = n_buckets.bit_length() - 1
+    grow_bit = ((tags >> (23 + log2b - log2_base)) & 1).astype(jnp.int32)
+    new_bkt = jnp.arange(n_buckets, dtype=jnp.int32)[:, None] \
+        + grow_bit * n_buckets                              # [B, S]
+    slot = jnp.broadcast_to(jnp.arange(BUCKET, dtype=jnp.int32)[None, :],
+                            tags.shape)
+    flat = jnp.where(tags != EMPTY, new_bkt * BUCKET + slot,
+                     2 * n_buckets * BUCKET)
+    new_tags = jnp.zeros((2 * n_buckets * BUCKET,), jnp.uint32).at[
+        flat.reshape(-1)].set(tags.reshape(-1), mode="drop")
+    new_cnts = jnp.zeros((2 * n_buckets * BUCKET,), jnp.uint32).at[
+        flat.reshape(-1)].set(cnts.reshape(-1), mode="drop")
+    return (new_tags.reshape(2 * n_buckets, BUCKET),
+            new_cnts.reshape(2 * n_buckets, BUCKET))
+
+
+def table_find(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
+               log2_base: int = -1):
+    """Query contexts. lo/hi: [...] uint32 key pair. log2_base: creation
+    size for grown tables (-1 = never grown).
     Returns ([..., 4] int32 counts, [...] bool found)."""
     log2_buckets = tags.shape[0].bit_length() - 1
-    bkt = kmers.hash_bucket(lo, hi, log2_buckets)
+    if log2_base < 0:
+        log2_base = log2_buckets
+    bkt = bucket_of(lo, hi, log2_buckets, log2_base)
     tag = kmers.hash_tag(lo, hi)
     row_t = tags[bkt]            # [..., BUCKET]
     row_c = cnts[bkt]
@@ -140,7 +182,8 @@ def table_find(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array):
 
 
 def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
-                 base: jax.Array, valid: jax.Array, bkt=None, tag=None):
+                 base: jax.Array, valid: jax.Array, bkt=None, tag=None,
+                 log2_base: int = -1):
     """Batch-insert/increment (context -> next base) events.
 
     lo/hi/base/valid: [n]. Aggregates per key, then resolves bucket cells with
@@ -176,7 +219,8 @@ def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
     n_buckets = tags.shape[0]
     if bkt is None:
         log2_buckets = n_buckets.bit_length() - 1
-        bkt = kmers.hash_bucket(lo, hi, log2_buckets)
+        bkt = bucket_of(lo, hi, log2_buckets,
+                        log2_buckets if log2_base < 0 else log2_base)
     if tag is None:
         tag = kmers.hash_tag(lo, hi)
     bkt = jnp.where(valid, bkt, 0)
@@ -365,11 +409,12 @@ class LocalBackend:
     def siv_update(self, siv, keys, valid):
         return siv_update(siv, keys, valid)
 
-    def table_find(self, tags, cnts, lo, hi):
-        return table_find(tags, cnts, lo, hi)
+    def table_find(self, tags, cnts, lo, hi, log2_base=-1):
+        return table_find(tags, cnts, lo, hi, log2_base)
 
-    def table_update(self, tags, cnts, lo, hi, base, valid):
-        return table_update(tags, cnts, lo, hi, base, valid)
+    def table_update(self, tags, cnts, lo, hi, base, valid, log2_base=-1):
+        return table_update(tags, cnts, lo, hi, base, valid,
+                            log2_base=log2_base)
 
 
 LOCAL = LocalBackend()

@@ -283,6 +283,42 @@ def _decode_batch(dcfg, qcfg, mcfg, icfg, R, L, state: CodecState,
             id_batch, new_state, (m_x, d_x, q_x, i_x, pe_x))
 
 
+GROW_MAX_DOUBLINGS = 4     # growth bits available in cell tags (tables.bucket_of)
+GROW_NUM, GROW_DEN = 6, 10  # grow when used/capacity > 0.6 (integer compare)
+
+
+def grow_tables(dcfg, dna_state, verbosity: int = 0):
+    """Group-boundary coordinated growth of the s/b-mer tables (the
+    reference's barrier-bracketed restruct, application.cpp:894-902 +
+    ht_kmer.h:88-112): when a table's fill factor exceeds 0.6 it doubles,
+    each cell moving by one tag-derived bit (tables.table_grow). Both sides
+    run this at the same boundary on identical state, so the decision and
+    the resulting layout are identical — and fill telemetry comes free
+    (the reference's filling-factor stats, bit_vec.h:204-230)."""
+    from .ops import tables as _t
+
+    new = dna_state
+    for pre, base in (("s", dcfg.smer_log2_buckets),
+                      ("b", dcfg.bmer_log2_buckets)):
+        tags = getattr(new, pre + "_tags")
+        cnts = getattr(new, pre + "_cnts")
+        cur = tags.shape[0].bit_length() - 1
+        if cur - base >= GROW_MAX_DOUBLINGS and verbosity < 2:
+            continue     # maxed out: skip the blocking fill-factor pull
+        used, cap = _t.table_fill_stats(tags)
+        used = int(used)
+        if verbosity >= 2:
+            print(f"  {pre}mer fill: {used}/{cap} ({used / cap:.3f})"
+                  f" [2^{cur} buckets]")
+        if cur - base < GROW_MAX_DOUBLINGS and used * GROW_DEN > cap * GROW_NUM:
+            t2, c2 = _t.table_grow(tags, cnts, base)
+            new = new._replace(**{pre + "_tags": t2, pre + "_cnts": c2})
+            if verbosity >= 1:
+                print(f"  {pre}mer table grown to 2^{cur + 1} buckets "
+                      f"(fill {used / cap:.2f})")
+    return new
+
+
 def payload_crc(crc: int, codes_u8: np.ndarray, lengths: np.ndarray) -> int:
     """Rolling crc32 of the sequence payload (codes + lengths). Quality/ids
     are lossy in most modes, so the integrity check covers what every mode
@@ -391,7 +427,7 @@ def compress_file(p: Params, in_path: str, out_path: str,
     group_crc = 0
 
     def flush_group():
-        nonlocal group_fc, group_meta, group_bytes, group_idx, group_crc
+        nonlocal group_fc, group_meta, group_bytes, group_idx, group_crc, state
         if not group_meta:
             return
         # schedule every stream's reverse rANS chain on device first (async
@@ -433,6 +469,8 @@ def compress_file(p: Params, in_path: str, out_path: str,
             # the id token chains reset at every group boundary, so the first
             # read of each lane in a group escapes to raw bytes
             id_chain[:] = [None] * len(id_chain)
+        state = state._replace(
+            dna=grow_tables(dcfg, state.dna, p.verbosity))
         if snapshot_prefix is not None:
             # state AFTER this group's batches = what a decoder needs to
             # START decoding the NEXT group (parallel decode / resume)
@@ -624,6 +662,10 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
             raise ValueError(
                 f"payload checksum mismatch in group {gi} "
                 f"(archive corrupt or decoder divergence)")
+        # replay the encoder's group-boundary table growth (flush_group):
+        # both sides see identical state here, so the grow decision and the
+        # resulting layout match deterministically
+        state = state._replace(dna=grow_tables(dcfg, state.dna, p.verbosity))
     reader.close()
 
     n_out = w1.n_reads + (w2.n_reads if w2 is not None else 0)

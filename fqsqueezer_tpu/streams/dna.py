@@ -139,12 +139,13 @@ def _pos_bucket(i, length):
 
 
 def _cascade_parts(state: DnaState, pm_ctx, s_lo, s_hi, b_lo, b_hi, vp, vs, vb,
-                   be=tables.LOCAL):
+                   be=tables.LOCAL, s_log2b=-1, b_log2b=-1):
     """Raw per-level finds of the count cascade (reference find_counts,
-    dna.cpp:457-502). Returns (cp, cs, cb [..., 4] int32, fp, fs, fb bool)."""
+    dna.cpp:457-502). Returns (cp, cs, cb [..., 4] int32, fp, fs, fb bool).
+    s_log2b/b_log2b: CREATION bucket sizes (tables may have grown since)."""
     cp = be.siv_find(state.siv, pm_ctx)
-    cs, fs = be.table_find(state.s_tags, state.s_cnts, s_lo, s_hi)
-    cb, fb = be.table_find(state.b_tags, state.b_cnts, b_lo, b_hi)
+    cs, fs = be.table_find(state.s_tags, state.s_cnts, s_lo, s_hi, s_log2b)
+    cb, fb = be.table_find(state.b_tags, state.b_cnts, b_lo, b_hi, b_log2b)
     fp = vp & (jnp.sum(cp, axis=-1) > 0)
     return cp, cs, cb, fp, fs & vs, fb & vb
 
@@ -268,7 +269,8 @@ def _window_parts(cfg, state, kcodes, lengths, be=tables.LOCAL):
     vb = pos >= cfg.bmer_len - 1
     parts = _cascade_parts(
         state, (pm & jnp.uint32(4 ** (cfg.siv_len - 1) - 1)).astype(jnp.int32),
-        s_lo, s_hi, b_lo, b_hi, vp, vs, vb, be)
+        s_lo, s_hi, b_lo, b_hi, vp, vs, vb, be,
+        cfg.smer_log2_buckets, cfg.bmer_log2_buckets)
     return parts, active
 
 
@@ -565,7 +567,8 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
         hi = jnp.concatenate([ctx_hi.reshape(-1), rc_hi.reshape(-1)])
         base = jnp.concatenate([kcodes.reshape(-1), rc_base.reshape(-1)])
         valid = jnp.concatenate([vk.reshape(-1), vk.reshape(-1)])
-        return be.table_update(tags, cnts, lo, hi, base, valid)
+        return be.table_update(tags, cnts, lo, hi, base, valid,
+                               log2_base=log2b)
 
     s_tags, s_cnts = upd(state.s_tags, state.s_cnts, cfg.smer_len, cfg.smer_log2_buckets)
     b_tags, b_cnts = upd(state.b_tags, state.b_cnts, cfg.bmer_len, cfg.bmer_log2_buckets)
@@ -747,7 +750,8 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             b_ctx = (blo & b_mlo, bhi & b_mhi)
             parts = _cascade_parts(
                 state, (pkey & pm_mask).astype(jnp.int32),
-                s_ctx[0], s_ctx[1], b_ctx[0], b_ctx[1], vp, vs, vb, be)
+                s_ctx[0], s_ctx[1], b_ctx[0], b_ctx[1], vp, vs, vb, be,
+                cfg.smer_log2_buckets, cfg.bmer_log2_buckets)
             counts_g, level_g = _cascade_combine(*parts)
             if with_local:
                 ls, lb, lm = loc

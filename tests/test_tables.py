@@ -117,3 +117,46 @@ def test_count_table_update_is_deterministic_across_orderings():
     g2, f2 = tables.table_find(*t2, jnp.asarray(keys), jnp.zeros(len(keys), jnp.uint32))
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_table_grow_preserves_contents_and_finds():
+    """Regrow (reference coordinated restruct, ht_kmer.h:88-112 +
+    application.cpp:894-902): after table_grow every stored (key -> counts)
+    entry is still found at the bucket bucket_of derives from (hash, tag),
+    and new updates land in the grown layout."""
+    rng = np.random.default_rng(11)
+    base_log2 = 4
+    n = 400
+    lo = rng.integers(0, 1 << 30, size=n).astype(np.uint32)
+    hi = rng.integers(0, 1 << 20, size=n).astype(np.uint32)
+    bse = rng.integers(0, 4, size=n).astype(np.int32)
+    valid = np.ones(n, bool)
+    tags, cnts = tables.table_create(base_log2)
+    tags, cnts = tables.table_update(
+        tags, cnts, jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(bse),
+        jnp.asarray(valid))
+    keys = np.unique(np.stack([lo, hi], 1), axis=0)
+    klo, khi = jnp.asarray(keys[:, 0]), jnp.asarray(keys[:, 1])
+    c0, f0 = tables.table_find(tags, cnts, klo, khi)
+    used0, _ = tables.table_fill_stats(tags)
+
+    for g in range(2):  # two consecutive doublings
+        tags, cnts = tables.table_grow(tags, cnts, base_log2)
+        c1, f1 = tables.table_find(tags, cnts, klo, khi, base_log2)
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f0))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c0))
+        used1, cap1 = tables.table_fill_stats(tags)
+        assert int(used1) == int(used0)          # no cell lost or duplicated
+        assert cap1 == (1 << (base_log2 + g + 1)) * tables.BUCKET
+
+    # updates into the grown table hit the same cells table_find probes
+    tags, cnts = tables.table_update(
+        tags, cnts, klo, khi, jnp.zeros(len(keys), jnp.int32),
+        jnp.ones(len(keys), bool), log2_base=base_log2)
+    c2, f2 = tables.table_find(tags, cnts, klo, khi, base_log2)
+    # growth frees capacity: previously-dropped keys may now insert, so the
+    # found set only ever widens
+    assert np.all(np.asarray(f2) | ~np.asarray(f0))
+    found = np.asarray(f0)
+    np.testing.assert_array_equal(
+        np.asarray(c2)[found, 0], np.asarray(c0)[found, 0] + 1)
