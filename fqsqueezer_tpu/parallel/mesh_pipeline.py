@@ -9,10 +9,10 @@ own stream entry in shard-major order, so the existing group framing
 recorded in the header and decode requires the same mesh — the analog of the
 reference baking its thread count into the archive (params.h:87).
 
-This path keeps per-batch lane states (one group per batch) — the
-group-chained deferred emission of the single-chip path is a round-2 item
-for the mesh; on a mesh the state overhead amortizes across shards' larger
-aggregate batches anyway.
+Like the single-chip path, emission is group-chained: batches are modeled
+forward (tables evolve), their (freq, cum) grids stay device-resident, and
+each group's batches are entropy-coded in REVERSE so per-shard lane states
+chain — one state block per (shard, stream) per group instead of per batch.
 """
 from __future__ import annotations
 
@@ -27,6 +27,7 @@ from .. import archive
 from ..io import fastq
 from ..params import Params, DnaMode, IdMode, QualityMode
 from ..streams import quality, ids as ids_mod
+from ..ops import rans
 from . import sharded
 from .. import pipeline as base
 
@@ -44,7 +45,8 @@ def _mesh_and_specs(p: Params, dcfg, qcfg, mcfg, icfg, dp: int, tp: int):
 
 def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
                        tp: int = 1,
-                       data: Optional[fastq.FastqData] = None) -> dict:
+                       data: Optional[fastq.FastqData] = None,
+                       group_mem_bytes: int = 512 << 20) -> dict:
     """Compression over a dp×tp mesh (SE; PE via compress_pe_mesh)."""
     is_pe = p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
     if is_pe and data is None:
@@ -70,7 +72,9 @@ def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
     p.mesh_dp, p.mesh_tp = dp, tp
     dcfg, qcfg, mcfg, icfg = base.make_configs(p)
     mesh, state, bspec = _mesh_and_specs(p, dcfg, qcfg, mcfg, icfg, dp, tp)
-    enc = sharded.make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh)
+    enc = sharded.make_sharded_model(dcfg, qcfg, mcfg, icfg, mesh)
+    rns = sharded.make_sharded_rans(mesh, p.scale_bits)
+    n_streams = 2 + (qcfg is not None) + (icfg is not None)
 
     qfwd = None
     if qcfg is not None:
@@ -79,6 +83,53 @@ def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
     writer = archive.ArchiveWriter(out_path, p.store_params())
     N = p.n_lanes
     align = dp * N * (2 if is_pe else 1)  # PE: pairs never straddle a lane
+
+    group_fc = []      # per batch: [ (f u16, c u16) per stream ]
+    group_meta = []    # per batch: (take, L)
+    group_bytes = 0
+    group_crc = 0
+
+    def flush_group():
+        nonlocal group_fc, group_meta, group_bytes, group_crc
+        if not group_meta:
+            return
+        # reverse-chain each stream's batches on device (async dispatch),
+        # then pull counts, word buffers, and final states in one batched get
+        per_batch_dev = [[None] * n_streams for _ in group_meta]
+        final_states = []
+        for si in range(n_streams):
+            st = None
+            for k in range(len(group_meta) - 1, -1, -1):
+                f16, c16 = group_fc[k][si]
+                if st is None:
+                    st = jax.device_put(
+                        jnp.full((dp * N,), rans.RANS_L, jnp.uint32), bspec)
+                words, n_arr, st = rns(f16, c16, st)
+                per_batch_dev[k][si] = (words, n_arr)
+            final_states.append(st)
+        states_np, pulled = jax.device_get(
+            (final_states,
+             [d for row in per_batch_dev for d in row]))
+        # shard-major (shard, stream) state blocks, then per-batch entries
+        states_arch = [states_np[si][s * N:(s + 1) * N]
+                       for s in range(dp) for si in range(n_streams)]
+        batches_arch = []
+        for k, (take, L) in enumerate(group_meta):
+            streams_k = []
+            for s in range(dp):
+                for si in range(n_streams):
+                    words, n_arr = pulled[k * n_streams + si]
+                    cap = words.shape[0] // dp
+                    n_s = int(n_arr[s])
+                    streams_k.append((words[s * cap:s * cap + n_s], n_s))
+            batches_arch.append((take, L, streams_k))
+        writer.write_group(states_arch, batches_arch, payload_crc=group_crc)
+        group_fc, group_meta, group_bytes, group_crc = [], [], 0, 0
+        if id_chain is not None:
+            # groups stay independently decodable: id token chains reset at
+            # every group boundary (mirrors pipeline.flush_group)
+            id_chain[:] = [None] * len(id_chain)
+
     for start, take, padded in base.batch_schedule(
             data.n_reads, N, p.max_batch_reads, align=align):
         L = data.max_len or 1
@@ -101,35 +152,26 @@ def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
             id_np = ids_mod.zero_id_batch(padded)
 
         put = lambda a: jax.device_put(jnp.asarray(a), bspec)
-        outs = enc(state, put(codes), put(kcodes), put(lengths), put(qs),
-                   tuple(put(a) for a in id_np))
-        m, i, d, q, state = outs
-        base_streams = [m, d] + ([q] if qcfg is not None else []) \
-            + ([i] if icfg is not None else [])
-
-        # shard-major (shard, stream) entries; per-shard words/states slices
-        states_out, batch_streams = [], []
-        for s in range(dp):
-            for words, n_arr, st_arr in base_streams:
-                words = np.asarray(words)
-                n_arr = np.asarray(n_arr)
-                st_arr = np.asarray(st_arr)
-                cap = words.shape[0] // dp
-                n_s = int(n_arr[s])
-                states_out.append(st_arr[s * N:(s + 1) * N])
-                batch_streams.append((words[s * cap:s * cap + n_s], n_s))
-        crc = base.payload_crc(0, np.where(
+        grids, state = enc(state, put(codes), put(kcodes), put(lengths),
+                           put(qs), tuple(put(a) for a in id_np))
+        group_crc = base.payload_crc(group_crc, np.where(
             np.arange(codes.shape[1])[None, :] < lengths[:take, None],
             codes[:take], 0).astype(np.uint8), lengths[:take])
-        writer.write_group(states_out, [(take, codes.shape[1], batch_streams)],
-                           payload_crc=crc)
+        group_fc.append(grids)
+        group_meta.append((take, codes.shape[1]))
+        group_bytes += sum(f.size * 2 + c.size * 2 for f, c in grids)
+        if group_bytes >= group_mem_bytes:
+            flush_group()
+    flush_group()
     writer.close()
 
     import os
+    in_paths = list(in_path) if isinstance(in_path, (list, tuple)) else [in_path]
+    in_bytes = sum(os.path.getsize(f) for f in in_paths if os.path.exists(f))
     out_bytes = os.path.getsize(out_path)
     n_bases = int(data.lengths.sum())
     return {"n_reads": data.n_reads, "out_bytes": out_bytes,
-            "in_bytes": os.path.getsize(in_path) if os.path.exists(in_path) else 0,
+            "in_bytes": in_bytes,
             "bits_per_base": 8.0 * out_bytes / max(1, n_bases)}
 
 
@@ -162,8 +204,17 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
             break
         gstates, batches, want_crc = rec
         got_crc = 0
-        align = dp * N * (2 if p.dna_mode in (DnaMode.PE_ORIGINAL,
-                                              DnaMode.PE_SORTED) else 1)
+        if id_chain is not None:
+            id_chain[:] = [None] * len(id_chain)   # mirrors flush_group
+        # per-stream [dp*N] lane states from the shard-major group block;
+        # chained forward across the group's batches below
+        cur = []
+        for b in range(n_base):
+            plane = np.zeros((dp * N,), np.uint32)
+            for s in range(dp):
+                plane[s * N:(s + 1) * N] = gstates[s * n_base + b]
+            cur.append(jax.device_put(jnp.asarray(plane), bspec))
+        align = dp * N * (2 if is_pe else 1)
         first = base._first_batch(N, p.max_batch_reads, 0, align)
         for take, L, streams in batches:
             padded = base.canonical_padded(take, first, p.max_batch_reads,
@@ -175,36 +226,35 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
                     dcfg, qcfg, mcfg, icfg, mesh, R_shard, L)
             dec = dec_cache[key]
 
-            # reassemble [dp*cap] word planes + [dp*N] states per base stream
+            # reassemble [dp*cap] word planes per base stream
             caps = [mcfg.n_per_read * R_shard, R_shard * max(L, 2)]
             if qcfg is not None:
                 caps.append(R_shard * max(L, 2))
             if icfg is not None:
                 caps.append(R_shard * icfg.w_all + 4 * N)
             planes = [np.zeros((dp * c,), np.uint32) for c in caps]
-            st_planes = [np.zeros((dp * N,), np.uint32) for _ in caps]
             for s in range(dp):
                 for b in range(n_base):
                     words, n_w = streams[s * n_base + b]
                     planes[b][s * caps[b]:s * caps[b] + n_w] = words
-                    st_planes[b][s * N:(s + 1) * N] = gstates[s * n_base + b]
 
             put = lambda a: jax.device_put(jnp.asarray(a), bspec)
             args = [state]
-            args += [put(planes[0]), put(st_planes[0])]
+            args += [put(planes[0]), cur[0]]
             bi = 2 + (qcfg is not None)
             if icfg is not None:
-                args += [put(planes[bi]), put(st_planes[bi])]
+                args += [put(planes[bi]), cur[bi]]
             else:
                 z = jnp.zeros((0,), jnp.uint32)
                 args += [z, z]
-            args += [put(planes[1]), put(st_planes[1])]
+            args += [put(planes[1]), cur[1]]
             if qcfg is not None:
-                args += [put(planes[2]), put(st_planes[2])]
+                args += [put(planes[2]), cur[2]]
             else:
                 z = jnp.zeros((0,), jnp.uint32)
                 args += [z, z]
-            lengths, codes, qsyms, id_batch, state = dec(*args)
+            lengths, codes, qsyms, id_batch, state, xs = dec(*args)
+            cur = list(xs)
 
             codes_np = np.asarray(codes[:take]).astype(np.uint8)
             lengths_np = np.asarray(lengths[:take]).astype(np.int32)

@@ -78,7 +78,8 @@ class TpBackend:
         own = (local >= 0) & (local < local_buckets)
         return jnp.clip(local, 0, local_buckets - 1), own
 
-    def table_find(self, tags_local, cnts_local, lo, hi):
+    def table_find(self, tags_local, cnts_local, lo, hi,
+                   log2_base=-1):  # mesh tables are presized, never grown
         idx, own = self._local_bucket(tags_local, lo, hi)
         tag = kmers.hash_tag(lo, hi)
         row_t = tags_local[idx]
@@ -91,7 +92,8 @@ class TpBackend:
         found = jax.lax.psum(found.astype(jnp.int32), self.axis) > 0
         return c4, found
 
-    def table_update(self, tags_local, cnts_local, lo, hi, base, valid):
+    def table_update(self, tags_local, cnts_local, lo, hi, base, valid,
+                     log2_base=-1):
         idx, own = self._local_bucket(tags_local, lo, hi)
         tag = kmers.hash_tag(lo, hi)
         return tables.table_update(tags_local, cnts_local, lo, hi, base,
@@ -109,81 +111,151 @@ def state_specs(qual: bool, with_ids: bool = False):
                       id=P() if with_ids else None)
 
 
-def make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
-    """Build the jitted multi-chip compress step: model + encode the dp-local
-    read shard, then evolve all tables/models from the full batch."""
+def _grids_step(dcfg, qcfg, mcfg, icfg, be, state, codes, kcodes, lengths,
+                qsyms, id_batch):
+    """Per-shard modeling + full-batch state evolution (collectives over dp).
+
+    The shared core of the sharded encode/model steps: models the dp-local
+    read shard against the batch-frozen state, then evolves tables/models
+    from the all_gather'ed full batch (the collective analog of the
+    reference's barrier-bracketed *_to_add exchange, application.h:56-59).
+    Returns (per-stream (freq, cum) u16 lane grids in ARCHIVE stream order
+    [meta, dna, qual?, id?], per-stream modeling tuples, new_state)."""
     from ..pipeline import CodecState
 
+    g = partial(jax.lax.all_gather, axis_name="dp", axis=0, tiled=True)
+    g16 = lambda a, n: common.to_grid(a, n).astype(jnp.uint16)
+
+    # META
+    lcp = (meta.compute_lcp(codes, lengths, mcfg.n_lanes, mcfg.lcp_stride)
+           if mcfg.with_lcp else None)
+    m_ctx, m_syms, m_f, m_c = meta.meta_modeling(mcfg, state.meta,
+                                                 lengths, lcp)
+    m_model = models.model_update(
+        state.meta, g(m_ctx).reshape(-1), g(m_syms).reshape(-1),
+        jnp.ones(g(m_ctx).size, dtype=bool))
+
+    # DNA (kcodes -> repaired effective kcodes, dna.dna_effective_kcodes).
+    # In-batch local statistics are per-dp-shard (each shard's decode
+    # scan covers the same read range), so they need no collectives.
+    eff = dna.dna_effective_kcodes(dcfg, state.dna, codes, kcodes,
+                                   lengths, be)
+    ctx, sym, f, c, active = dna.dna_modeling(
+        dcfg, state.dna, codes, eff, lengths, be, lcp)
+    d_state = dna.dna_collect_updates(
+        dcfg, state.dna, g(codes), g(eff), g(lengths),
+        g(ctx), g(sym), g(active), be)
+
+    grids = [(g16(m_f, mcfg.n_lanes), g16(m_c, mcfg.n_lanes)),
+             (g16(f, dcfg.n_lanes), g16(c, dcfg.n_lanes))]
+
+    # QUALITY
+    if qcfg is not None:
+        q_ctx, q_f, q_c, q_active = quality.qual_modeling(
+            qcfg, state.qual, qsyms, lengths)
+        q_model = models.model_update(
+            state.qual, g(q_ctx).reshape(-1), g(qsyms).reshape(-1),
+            g(q_active).reshape(-1))
+        grids.append((g16(q_f, qcfg.n_lanes), g16(q_c, qcfg.n_lanes)))
+    else:
+        q_model = None
+
+    # IDS
+    if icfg is not None:
+        i_ctx, i_syms, i_f, i_c, i_active = ids.id_modeling(
+            icfg, state.id, *id_batch)
+        i_model = models.model_update(
+            state.id, g(i_ctx).reshape(-1), g(i_syms).reshape(-1),
+            g(i_active).reshape(-1))
+        grids.append((g16(i_f, icfg.n_lanes), g16(i_c, icfg.n_lanes)))
+    else:
+        i_model = None
+
+    new_state = CodecState(dna=d_state, meta=m_model, qual=q_model,
+                           id=i_model)
+    return grids, new_state
+
+
+def make_sharded_model(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
+    """Build the jitted multi-chip MODELING step (no entropy coding): returns
+    per-stream (freq, cum) u16 grids, global shape [T, dp*N] with lanes
+    sharded over dp, plus the evolved state. The caller buffers grids per
+    batch and entropy-codes each group in reverse via make_sharded_rans so
+    lane states chain — the mesh analog of the single-chip group-chained
+    emission (pipeline.flush_group)."""
     n_tp = mesh.shape["tp"]
     be = TpBackend("tp", n_tp)
 
-    def step(state: CodecState, codes, kcodes, lengths, qsyms, id_batch):
-        g = partial(jax.lax.all_gather, axis_name="dp", axis=0, tiled=True)
+    def step(state, codes, kcodes, lengths, qsyms, id_batch):
+        grids, new_state = _grids_step(dcfg, qcfg, mcfg, icfg, be, state,
+                                       codes, kcodes, lengths, qsyms,
+                                       id_batch)
+        return tuple(grids), new_state
 
-        # META
-        lcp = (meta.compute_lcp(codes, lengths, mcfg.n_lanes,
-                                mcfg.lcp_stride)
-               if mcfg.with_lcp else None)
-        m_ctx, m_syms, m_f, m_c = meta.meta_modeling(mcfg, state.meta,
-                                                     lengths, lcp)
-        m_words, m_n, m_states = rans.rans_encode(
-            common.to_grid(m_f, mcfg.n_lanes), common.to_grid(m_c, mcfg.n_lanes),
-            mcfg.scale_bits)
-        m_model = models.model_update(
-            state.meta, g(m_ctx).reshape(-1), g(m_syms).reshape(-1),
-            jnp.ones(g(m_ctx).size, dtype=bool))
+    sspec = state_specs(qcfg is not None, icfg is not None)
+    batch = P("dp")
+    n_streams = 2 + (qcfg is not None) + (icfg is not None)
+    gspec = (P(None, "dp"), P(None, "dp"))  # [T, dp*N] lane grids
+    fn = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(sspec, batch, batch, batch, batch, batch),
+        out_specs=((gspec,) * n_streams, sspec),
+        check_vma=False)
+    return jax.jit(fn)
 
-        # DNA (kcodes -> repaired effective kcodes, dna.dna_effective_kcodes).
-        # In-batch local statistics are per-dp-shard (each shard's decode
-        # scan covers the same read range), so they need no collectives.
-        eff = dna.dna_effective_kcodes(dcfg, state.dna, codes, kcodes,
-                                       lengths, be)
-        ctx, sym, f, c, active = dna.dna_modeling(
-            dcfg, state.dna, codes, eff, lengths, be, lcp)
-        d_words, d_n, d_states = rans.rans_encode(
-            common.to_grid(f, dcfg.n_lanes), common.to_grid(c, dcfg.n_lanes),
-            dcfg.scale_bits)
-        d_state = dna.dna_collect_updates(
-            dcfg, state.dna, g(codes), g(eff), g(lengths),
-            g(ctx), g(sym), g(active), be)
 
-        # QUALITY
-        if qcfg is not None:
-            q_ctx, q_f, q_c, q_active = quality.qual_modeling(
-                qcfg, state.qual, qsyms, lengths)
-            q_words, q_n, q_states = rans.rans_encode(
-                common.to_grid(q_f, qcfg.n_lanes),
-                common.to_grid(q_c, qcfg.n_lanes), qcfg.scale_bits)
-            q_model = models.model_update(
-                state.qual, g(q_ctx).reshape(-1), g(qsyms).reshape(-1),
-                g(q_active).reshape(-1))
-        else:
-            q_words, q_n, q_states, q_model = (
-                jnp.zeros((0,), jnp.uint32), jnp.int32(0),
-                jnp.zeros((0,), jnp.uint32), None)
+def make_sharded_rans(mesh: Mesh, scale_bits: int):
+    """Per-dp-shard interleaved rANS encode: each shard entropy-codes its own
+    [T, N] grid slice into an independent word stream (deterministic
+    shard-major assembly, reference reads_block.h:197-214). init/final lane
+    states are [dp*N] so the caller can chain batches within a group."""
 
-        # IDS
-        if icfg is not None:
-            i_ctx, i_syms, i_f, i_c, i_active = ids.id_modeling(
-                icfg, state.id, *id_batch)
-            i_words, i_n, i_states = rans.rans_encode(
-                common.to_grid(i_f, icfg.n_lanes),
-                common.to_grid(i_c, icfg.n_lanes), icfg.scale_bits)
-            i_model = models.model_update(
-                state.id, g(i_ctx).reshape(-1), g(i_syms).reshape(-1),
-                g(i_active).reshape(-1))
-        else:
-            i_words, i_n, i_states, i_model = (
-                jnp.zeros((0,), jnp.uint32), jnp.int32(0),
-                jnp.zeros((0,), jnp.uint32), None)
+    def enc(f, c, st):
+        words, n, st2 = rans.rans_encode(
+            f.astype(jnp.uint32), c.astype(jnp.uint32), scale_bits, st)
+        return words, n.reshape(1), st2
 
-        new_state = CodecState(dna=d_state, meta=m_model, qual=q_model,
-                               id=i_model)
-        # scalars -> [1] so they carry a shardable dp dimension
-        return ((m_words, m_n.reshape(1), m_states),
-                (i_words, jnp.reshape(i_n, (1,)), i_states),
-                (d_words, d_n.reshape(1), d_states),
-                (q_words, jnp.reshape(q_n, (1,)), q_states), new_state)
+    fn = jax.shard_map(
+        enc, mesh=mesh,
+        in_specs=(P(None, "dp"), P(None, "dp"), P("dp")),
+        out_specs=(P("dp"), P("dp"), P("dp")),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
+    """Build the jitted multi-chip compress step: model + encode the dp-local
+    read shard with fresh lane states, then evolve all tables/models from the
+    full batch. (Single-step form — the file pipeline uses make_sharded_model
+    + make_sharded_rans for group-chained emission.)"""
+    n_tp = mesh.shape["tp"]
+    be = TpBackend("tp", n_tp)
+
+    def step(state, codes, kcodes, lengths, qsyms, id_batch):
+        grids, new_state = _grids_step(dcfg, qcfg, mcfg, icfg, be, state,
+                                       codes, kcodes, lengths, qsyms,
+                                       id_batch)
+        coded = []
+        for f, c in grids:
+            words, n, st = rans.rans_encode(
+                f.astype(jnp.uint32), c.astype(jnp.uint32), dcfg.scale_bits)
+            coded.append((words, n.reshape(1), st))
+        zero = (jnp.zeros((0,), jnp.uint32), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((0,), jnp.uint32))
+        m_out, d_out = coded[0], coded[1]
+        q_out = coded[2] if qcfg is not None else zero
+        i_out = (coded[2 + (qcfg is not None)] if icfg is not None else zero)
+        return m_out, i_out, d_out, q_out, new_state
+
+    sspec = state_specs(qcfg is not None, icfg is not None)
+    batch = P("dp")
+    out_stream = (P("dp"), P("dp"), P("dp"))
+    fn = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(sspec, batch, batch, batch, batch, batch),
+        out_specs=(out_stream, out_stream, out_stream, out_stream, sspec),
+        check_vma=False)
+    return jax.jit(fn)
 
     sspec = state_specs(qcfg is not None, icfg is not None)
     batch = P("dp")
@@ -210,7 +282,7 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
              d_words, d_states, q_words, q_states):
         g = partial(jax.lax.all_gather, axis_name="dp", axis=0, tiled=True)
 
-        lengths, lcp, _, _, _ = meta.meta_decode_batch(
+        lengths, lcp, _, m_x, _ = meta.meta_decode_batch(
             mcfg, state.meta, R_shard, m_words, m_states)
         lengths = jnp.minimum(lengths, L).astype(jnp.int32)
         lcp = lcp if mcfg.with_lcp else None
@@ -220,7 +292,7 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
             state.meta, g(m_ctx).reshape(-1), g(m_syms).reshape(-1),
             jnp.ones(g(m_ctx).size, dtype=bool))
 
-        codes, _, _, _, (eff, ctx, sym, active) = dna.dna_decode_batch(
+        codes, _, d_x, _, (eff, ctx, sym, active) = dna.dna_decode_batch(
             dcfg, state.dna, lengths, d_words, d_states, L, be,
             apply_update=False, lcp=lcp, lcp_stride=mcfg.lcp_stride)
         d_state = dna.dna_collect_updates(
@@ -228,7 +300,7 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
             g(ctx), g(sym), g(active), be)
 
         if qcfg is not None:
-            qsyms, _, _, _ = quality.qual_decode_batch(
+            qsyms, _, q_x, _ = quality.qual_decode_batch(
                 qcfg, state.qual, lengths, q_words, q_states, L)
             q_ctx, _, _, q_active = quality.qual_modeling(
                 qcfg, state.qual, qsyms, lengths)
@@ -236,10 +308,11 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
                 state.qual, g(q_ctx).reshape(-1), g(qsyms).reshape(-1),
                 g(q_active).reshape(-1))
         else:
-            qsyms, q_model = jnp.zeros((R_shard, L), jnp.int32), None
+            qsyms, q_model, q_x = (jnp.zeros((R_shard, L), jnp.int32), None,
+                                   q_states)
 
         if icfg is not None:
-            (i_flag, i_dsym, i_dmag, i_emat, i_elens, _, _,
+            (i_flag, i_dsym, i_dmag, i_emat, i_elens, _, i_x,
              _) = ids.id_decode_batch(icfg, state.id, R_shard, i_words,
                                       i_states)
             id_batch = (i_flag, i_dsym, i_dmag, i_emat, i_elens)
@@ -251,17 +324,24 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
         else:
             id_batch = tuple(
                 jnp.asarray(a) for a in ids.zero_id_batch(R_shard))
-            i_model = None
+            i_model, i_x = None, i_states
 
         new_state = CodecState(dna=d_state, meta=m_model, qual=q_model,
                                id=i_model)
-        return lengths, codes, qsyms, id_batch, new_state
+        # final per-lane rANS states, archive stream order — the caller
+        # chains them into the next batch of the group (pipeline.flush_group
+        # analog on the decode side)
+        xs = [m_x, d_x] + ([q_x] if qcfg is not None else []) \
+            + ([i_x] if icfg is not None else [])
+        return lengths, codes, qsyms, id_batch, new_state, tuple(xs)
 
     sspec = state_specs(qcfg is not None, icfg is not None)
     w = P("dp")
+    n_streams = 2 + (qcfg is not None) + (icfg is not None)
     fn = jax.shard_map(
         step, mesh=mesh,
         in_specs=(sspec, w, w, w, w, w, w, w, w),
-        out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), sspec),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), sspec,
+                   (P("dp"),) * n_streams),
         check_vma=False)
     return jax.jit(fn)

@@ -24,6 +24,37 @@ def test_mesh_file_roundtrip(tmp_path):
     assert open(src, "rb").read() == open(dst, "rb").read()
 
 
+def test_mesh_group_chaining_one_state_block(tmp_path):
+    """The mesh path defers rANS emission like the single-chip pipeline:
+    several batches share ONE per-(shard,stream) state block per group, and
+    the forward-chained decode reproduces the input exactly."""
+    from fqsqueezer_tpu import archive
+
+    src = str(tmp_path / "in.fastq")
+    make_fastq(src, 700, 72, seed=7)
+    p = small_params(dna_mode=DnaMode.SE_ORIGINAL,
+                     quality_mode=QualityMode.LOSSLESS,
+                     id_mode=IdMode.LOSSLESS)
+    p.n_lanes = 16
+    arc = str(tmp_path / "m.fqst")
+    dst = str(tmp_path / "m.fastq")
+    mesh_pipeline.compress_file_mesh(p, src, arc, dp=2, tp=1)
+
+    reader = archive.ArchiveReader(arc)
+    n_groups, n_batches = 0, 0
+    while True:
+        rec = reader.read_group(16)
+        if rec is None:
+            break
+        n_groups += 1
+        n_batches += len(rec[1])
+    reader.close()
+    assert n_groups == 1 and n_batches > 1, (n_groups, n_batches)
+
+    mesh_pipeline.decompress_file_mesh(Params(), arc, dst)
+    assert open(src, "rb").read() == open(dst, "rb").read()
+
+
 def test_single_chip_decoder_rejects_mesh_archive(tmp_path):
     src = str(tmp_path / "in.fastq")
     make_fastq(src, 200, 60, seed=6)
