@@ -157,7 +157,18 @@ def main(argv=None) -> int:
         else:
             src = (p.file_names if len(p.file_names) > 1
                    else p.file_names[0])
-            stats = pipeline.compress_file(p, src, p.out_path)
+            # WGS-scale inputs block-stream automatically when eligible
+            # (original order, no id stream): host RSS stays O(chunk)
+            import os as _os
+
+            total = sum(_os.path.getsize(f) for f in p.file_names
+                        if _os.path.exists(f))
+            stream = (256 << 20 if total > (256 << 20)
+                      and p.dna_mode in (DnaMode.SE_ORIGINAL,
+                                         DnaMode.SE_SORTED)
+                      and p.id_mode == IdMode.NONE else 0)
+            stats = pipeline.compress_file(p, src, p.out_path,
+                                           stream_chunk_bytes=stream)
         if p.verbosity >= 1:
             print(f"reads: {stats['n_reads']}  in: {stats['in_bytes']}  "
                   f"out: {stats['out_bytes']}  ratio: {stats['ratio']:.3f}  "

@@ -375,26 +375,89 @@ def _pad_batch(arr: np.ndarray, padded: int):
     return np.concatenate([arr, np.zeros(pad_shape, arr.dtype)], axis=0)
 
 
+def _stream_batches(paths, p: Params, chunk_bytes: int):
+    """Doubling-schedule batches from block-streamed input (identical sizes
+    to batch_schedule, so archives match the in-RAM path): FASTQ chunks are
+    buffered FIFO and cut into batches; host memory stays O(chunk + batch)
+    no matter the file size (reference block streaming, reads_block.h:35-76).
+    Yields (FastqData batch, take, padded)."""
+    align = p.n_lanes
+    first = _first_batch(p.n_lanes, p.max_batch_reads, 0, align)
+    size = first
+    pend: list = []    # FIFO of parsed chunks not yet batched
+    n_pend = 0
+    source = (fastq.external_sort_stream(paths, chunk_bytes)
+              if p.dna_mode == DnaMode.SE_SORTED
+              else fastq.stream_fastq(paths, chunk_bytes))
+
+    def pop(take):
+        nonlocal n_pend
+        got, need = [], take
+        while need:
+            d = pend[0]
+            if d.n_reads <= need:
+                got.append(d)
+                pend.pop(0)
+                need -= d.n_reads
+            else:
+                got.append(fastq.FastqData(d.codes[:need], d.quals[:need],
+                                           d.lengths[:need], d.ids[:need]))
+                pend[0] = fastq.FastqData(d.codes[need:], d.quals[need:],
+                                          d.lengths[need:], d.ids[need:])
+                need = 0
+        n_pend -= take
+        return got[0] if len(got) == 1 else fastq.concat_fastq(got)
+
+    for chunk in source:
+        if chunk.n_reads == 0:
+            continue
+        pend.append(chunk)
+        n_pend += chunk.n_reads
+        while n_pend >= size:
+            yield (pop(size), size,
+                   canonical_padded(size, first, p.max_batch_reads, align))
+            size = min(size * 2, p.max_batch_reads)
+    while n_pend > 0:
+        take = min(size, n_pend)
+        yield (pop(take), take,
+               canonical_padded(take, first, p.max_batch_reads, align))
+        size = min(size * 2, p.max_batch_reads)
+
+
 def compress_file(p: Params, in_path: str, out_path: str,
                   data: Optional[fastq.FastqData] = None,
                   group_mem_bytes: int = 512 << 20,
-                  snapshot_prefix: Optional[str] = None) -> dict:
+                  snapshot_prefix: Optional[str] = None,
+                  stream_chunk_bytes: int = 0) -> dict:
     """SE compression with group-chained rANS emission: batches are modeled
     forward (tables evolve), their (freq, cum) grids buffered host-side, and
     each group's batches are entropy-coded in REVERSE so lane states chain —
-    one state block per stream per group instead of per batch."""
+    one state block per stream per group instead of per batch.
+
+    stream_chunk_bytes > 0 block-streams the input instead of loading it
+    (WGS-scale memory envelope): original order + id-mode NONE only — sorted
+    modes need the whole file until the external bin sort lands, and id
+    templates need a global prescan."""
     in_paths = list(in_path) if isinstance(in_path, (list, tuple)) else [in_path]
-    if data is None:
+    streaming = stream_chunk_bytes > 0 and data is None
+    if streaming:
+        if (p.dna_mode not in (DnaMode.SE_ORIGINAL, DnaMode.SE_SORTED)
+                or p.id_mode != IdMode.NONE):
+            raise ValueError(
+                "streamed compression supports -om o/s with -im n only "
+                "(PE pairing and id templates need the whole input; sorted "
+                "order streams through the external bin sort)")
+    elif data is None:
         data = (fastq.concat_fastq([fastq.read_fastq(f) for f in in_paths])
                 if len(in_paths) > 1 else fastq.read_fastq(in_paths[0]))
-    if p.dna_mode == DnaMode.SE_SORTED:
+    if data is not None and p.dna_mode == DnaMode.SE_SORTED:
         order = fastq.sort_order(data.codes, data.lengths)
         data = fastq.FastqData(
             codes=data.codes[order], quals=data.quals[order],
             lengths=data.lengths[order],
             ids=[data.ids[i] for i in order])
 
-    id_list = data.ids
+    id_list = data.ids if data is not None else []
     if p.id_mode == IdMode.INSTRUMENT:
         id_list = ids.instrument_prefix(id_list)
     if p.id_mode != IdMode.NONE:
@@ -414,7 +477,8 @@ def compress_file(p: Params, in_path: str, out_path: str,
                if qcfg is not None else None)
 
     writer = archive.ArchiveWriter(out_path, p.store_params())
-    R_total = data.n_reads
+    R_total = data.n_reads if data is not None else 0
+    n_bases_total = 0
     stream_bytes = {"meta": 0, "dna": 0, "qual": 0, "id": 0, "pe": 0,
                     "states": 0}
     skeys = (["meta", "dna"] + (["qual"] if qcfg else [])
@@ -481,16 +545,28 @@ def compress_file(p: Params, in_path: str, out_path: str,
         group_idx += 1
 
     is_pe = p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
-    for start, take, padded in batch_schedule(
-            R_total, p.n_lanes, p.max_batch_reads,
-            align=2 * p.n_lanes if is_pe else p.n_lanes):
-        codes_u8 = _pad_batch(data.codes[start:start + take], padded)
-        lengths = _pad_batch(data.lengths[start:start + take], padded).astype(np.int32)
-        quals_u8 = (_pad_batch(data.quals[start:start + take], padded)
+    if streaming:
+        batches = ((d.codes, d.quals, d.lengths, [], take, padded)
+                   for d, take, padded in _stream_batches(
+                       in_paths, p, stream_chunk_bytes))
+    else:
+        batches = ((data.codes[start:start + take],
+                    data.quals[start:start + take],
+                    data.lengths[start:start + take],
+                    id_list[start:start + take], take, padded)
+                   for start, take, padded in batch_schedule(
+                       R_total, p.n_lanes, p.max_batch_reads,
+                       align=2 * p.n_lanes if is_pe else p.n_lanes))
+    for codes_raw, quals_raw, lengths_raw, ids_raw, take, padded in batches:
+        if streaming:
+            R_total += take
+            n_bases_total += int(lengths_raw.sum())
+        codes_u8 = _pad_batch(codes_raw, padded)
+        lengths = _pad_batch(lengths_raw, padded).astype(np.int32)
+        quals_u8 = (_pad_batch(quals_raw, padded)
                     if qcfg is not None else None)
         if icfg is not None:
-            ids_batch = (id_list[start:start + take]
-                         + [b""] * (padded - take))
+            ids_batch = ids_raw + [b""] * (padded - take)
             id_np = ids.encode_ids_host(
                 ids_batch, ids.read_lanes(padded, p.n_lanes),
                 icfg.n_fields, icfg.max_id_len, id_chain)
@@ -519,7 +595,7 @@ def compress_file(p: Params, in_path: str, out_path: str,
     import os
     in_bytes = sum(os.path.getsize(f) for f in in_paths if os.path.exists(f))
     out_bytes = os.path.getsize(out_path)
-    n_bases = int(data.lengths.sum())
+    n_bases = n_bases_total if streaming else int(data.lengths.sum())
     if p.verbosity >= 2:
         det = "  ".join(f"{k}: {v:,}" for k, v in stream_bytes.items())
         print(f"streams: {det}")
