@@ -14,7 +14,7 @@ from typing import BinaryIO, List, Tuple
 
 import numpy as np
 
-MAGIC = b"FQTZ03"  # 03: tokenized id stream (streams/ids.py)
+MAGIC = b"FQTZ04"  # 04: file-order id chains (03: tokenized id stream)
 
 
 def write_uvarint(f: BinaryIO, v: int) -> None:

@@ -65,7 +65,7 @@ def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
     if p.id_mode != IdMode.NONE:
         p.max_id_len = max(8, max((len(s) for s in id_list), default=8))
         p.id_n_fields = ids_mod.count_fields(id_list)
-        id_chain = [None] * (dp * p.n_lanes)
+        id_chain = [None] * dp   # one file-order chain per dp shard
     else:
         id_chain = None
 
@@ -191,7 +191,7 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
         _, qrev = quality.qual_maps(qcfg.mode, qcfg.qt)
 
     dec_cache = {}
-    id_chain = [None] * (dp * N) if icfg is not None else None
+    id_chain = [None] * dp if icfg is not None else None
     is_pe = p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
     if is_pe:
         w1 = fastq.FastqWriter(out_path)

@@ -463,7 +463,7 @@ def compress_file(p: Params, in_path: str, out_path: str,
     if p.id_mode != IdMode.NONE:
         p.max_id_len = max(8, max((len(s) for s in id_list), default=8))
         p.id_n_fields = ids.count_fields(id_list)
-        id_chain = [None] * p.n_lanes
+        id_chain = [None]   # one file-order chain (ids.read_lanes)
     else:
         id_chain = None
 
@@ -627,7 +627,7 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
     qrev = None
     if qcfg is not None:
         _, qrev = quality.qual_maps(qcfg.mode, qcfg.qt)
-    id_chain = [None] * p.n_lanes if icfg is not None else None
+    id_chain = [None] if icfg is not None else None
 
     is_pe = p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
     if is_pe:
@@ -652,6 +652,47 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
                  if p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
                  else p.n_lanes)
         first = _first_batch(p.n_lanes, p.max_batch_reads, 0, align)
+
+        pending = None   # previous batch's device outputs awaiting host drain
+
+        def drain(pend):
+            """Pull one decoded batch and render it — runs while the chip is
+            already decoding the NEXT batch (one-batch lookahead pipelining:
+            the host-side pull/render cost hides behind device compute)."""
+            nonlocal got_crc
+            take, padded, lengths, codes, qsyms, id_batch = pend
+            # one pipelined device->host pull per batch
+            codes_np, lengths_np, qsyms_np, id_batch = jax.device_get(
+                (codes[:take], lengths[:take], qsyms[:take], id_batch))
+            # mask padding columns like the encoder's input matrices
+            poscols = np.arange(codes_np.shape[1])[None, :]
+            codes_np = np.where(poscols < lengths_np[:, None], codes_np, 0)
+            got_crc = payload_crc(got_crc, codes_np, lengths_np)
+            if qrev is not None:
+                quals_np = qrev[qsyms_np].astype(np.uint8)
+            else:
+                quals_np = np.full(qsyms_np.shape, p.quality_thr, np.uint8)
+            if icfg is not None:
+                # host detokenization replays the encoder's per-lane chains
+                id_all = ids.decode_ids_host(
+                    *(np.asarray(a) for a in id_batch),
+                    ids.read_lanes(padded, p.n_lanes), id_chain)
+                ids_np = id_all[:take]
+            else:
+                ids_np = None
+            # streamed output: write this batch and drop it (host memory
+            # stays O(batch) regardless of file size)
+            if is_pe:
+                w1.write_batch(codes_np[0::2].astype(np.uint8),
+                               quals_np[0::2], lengths_np[0::2],
+                               ids=None if ids_np is None else ids_np[0::2])
+                w2.write_batch(codes_np[1::2].astype(np.uint8),
+                               quals_np[1::2], lengths_np[1::2],
+                               ids=None if ids_np is None else ids_np[1::2])
+            else:
+                w1.write_batch(codes_np.astype(np.uint8), quals_np,
+                               lengths_np, ids=ids_np)
+
         for take, L, streams in batches:
             padded = canonical_padded(take, first, p.max_batch_reads, align)
             cap = padded * max(L, 2)
@@ -703,37 +744,12 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
             if with_pe_stream:
                 nxt.append(pe_x)
             cur = nxt
-            # one pipelined device->host pull per batch
-            codes_np, lengths_np, qsyms_np, id_batch = jax.device_get(
-                (codes[:take], lengths[:take], qsyms[:take], id_batch))
-            # mask padding columns like the encoder's input matrices
-            poscols = np.arange(codes_np.shape[1])[None, :]
-            codes_np = np.where(poscols < lengths_np[:, None], codes_np, 0)
-            got_crc = payload_crc(got_crc, codes_np, lengths_np)
-            if qrev is not None:
-                quals_np = qrev[qsyms_np].astype(np.uint8)
-            else:
-                quals_np = np.full(qsyms_np.shape, p.quality_thr, np.uint8)
-            if icfg is not None:
-                # host detokenization replays the encoder's per-lane chains
-                id_all = ids.decode_ids_host(
-                    *(np.asarray(a) for a in id_batch),
-                    ids.read_lanes(padded, p.n_lanes), id_chain)
-                ids_np = id_all[:take]
-            else:
-                ids_np = None
-            # streamed output: write this batch and drop it (host memory
-            # stays O(batch) regardless of file size)
-            if is_pe:
-                w1.write_batch(codes_np[0::2].astype(np.uint8),
-                               quals_np[0::2], lengths_np[0::2],
-                               ids=None if ids_np is None else ids_np[0::2])
-                w2.write_batch(codes_np[1::2].astype(np.uint8),
-                               quals_np[1::2], lengths_np[1::2],
-                               ids=None if ids_np is None else ids_np[1::2])
-            else:
-                w1.write_batch(codes_np.astype(np.uint8), quals_np,
-                               lengths_np, ids=ids_np)
+            # the chip starts on THIS batch while the host drains the last
+            if pending is not None:
+                drain(pending)
+            pending = (take, padded, lengths, codes, qsyms, id_batch)
+        if pending is not None:
+            drain(pending)
         if got_crc != want_crc:
             raise ValueError(
                 f"payload checksum mismatch in group {gi} "

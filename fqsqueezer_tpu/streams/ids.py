@@ -141,18 +141,22 @@ def instrument_prefix(ids: list) -> list:
 
 
 def read_lanes(R: int, n_lanes: int) -> np.ndarray:
-    """Lane index per read row for the single-chip grid layout
-    (common.to_grid: lane = r // reads_per_lane)."""
-    return np.arange(R) // (R // n_lanes)
+    """Chain index per read: ONE file-order chain (chain[0]) — every read's
+    delta predecessor is the previous read of the file, carried across batch
+    boundaries. Counter-style ids then delta by +1 everywhere (including the
+    first read of each batch, since batches are consecutive file ranges);
+    the earlier per-lane chains paid multi-byte escape jumps at every batch
+    boundary x n_lanes (measured +17.5% on the se_ids sweep config).
+    Detokenization is host-sequential on both sides, so file order is a
+    valid causal order regardless of the device lane layout."""
+    return np.zeros(R, np.int64)
 
 
 def mesh_read_lanes(R: int, dp: int, n_lanes: int) -> np.ndarray:
-    """Global chain index per read on a dp mesh: reads are dp-sharded
-    contiguously, each shard runs its own n_lanes lane group."""
-    r = np.arange(R)
-    R_shard = R // dp
-    r_pl = R_shard // n_lanes
-    return (r // R_shard) * n_lanes + (r % R_shard) // r_pl
+    """Chain index per read on a dp mesh: one file-order chain per dp shard
+    (reads are dp-sharded contiguously; each shard's stream must decode
+    from its own state, like the reference's per-thread ranges)."""
+    return np.arange(R) // (R // dp)
 
 
 def encode_ids_host(ids, lanes: np.ndarray, F: int, M: int, chain: list):

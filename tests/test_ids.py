@@ -54,19 +54,18 @@ def test_host_encode_decode_chain_roundtrip():
     assert out == SAMPLE
 
 
-def test_host_codec_multi_lane_chains():
-    rng = np.random.default_rng(0)
+def test_host_codec_file_order_chain():
     n_lanes = 4
     R = 64
     idl = [f"SRR1.{1000 + 7 * r} {r} len=100".encode() for r in range(R)]
     lanes = ids.read_lanes(R, n_lanes)
     F, M = ids.count_fields(idl), 40
     flag, dsym, dmag, emat, elens = ids.encode_ids_host(
-        idl, lanes, F, M, [None] * n_lanes)
-    # only the first read of each lane escapes
-    assert int(flag.sum()) == n_lanes
-    out = ids.decode_ids_host(flag, dsym, dmag, emat, elens, lanes,
-                              [None] * n_lanes)
+        idl, lanes, F, M, [None])
+    # file-order chain: only the very first read escapes (per-lane chains
+    # paid one escape per lane, plus batch-boundary jump escapes)
+    assert int(flag.sum()) == 1
+    out = ids.decode_ids_host(flag, dsym, dmag, emat, elens, lanes, [None])
     assert out == idl
 
 
