@@ -241,7 +241,7 @@ def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
         return tags.reshape(-1).at[flat_claim].max(tag, mode="drop").reshape(
             n_buckets, BUCKET)
 
-    tags = jax.lax.fori_loop(0, 3, claim_round, tags)
+    tags = jax.lax.fori_loop(0, 2, claim_round, tags)
 
     # re-probe (winners and their duplicates now match); u8-packed delta +
     # one SWAR saturating sweep (see siv_update)
