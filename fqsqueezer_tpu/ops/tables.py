@@ -105,6 +105,23 @@ def siv_find(siv: jax.Array, ctx: jax.Array) -> jax.Array:
     return unpack_counts(siv[ctx])
 
 
+def siv_fill(siv: jax.Array):
+    """(nonzero counters, capacity) of the packed SIV — the reference's
+    filling-factor statistic (bit_vec.h:204-230)."""
+    nz = jnp.sum((unpack_counts(siv) > 0).astype(jnp.int32))
+    return nz, 4 * siv.shape[0]
+
+
+def siv_prune(siv: jax.Array) -> jax.Array:
+    """Clear singleton counters (count == 1) — the analog of the reference's
+    conditionally_clear (bit_vec.h:168-202), which frees the p-mer store of
+    sequencing-error noise once it gets dense on WGS-scale inputs. Run at
+    group boundaries on identical state by encoder and decoder, so both
+    sides' cascades keep matching exactly."""
+    c4 = unpack_counts(siv)
+    return pack_counts(jnp.where(c4 <= 1, 0, c4))
+
+
 def siv_update(siv: jax.Array, keys: jax.Array, valid: jax.Array) -> jax.Array:
     """Batch-increment cells. keys: [n] int32 packed (ctx<<2|base). The batch
     delta is accumulated u8x4-packed with one scatter and folded in with one

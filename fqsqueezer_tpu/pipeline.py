@@ -285,6 +285,7 @@ def _decode_batch(dcfg, qcfg, mcfg, icfg, R, L, state: CodecState,
 
 GROW_MAX_DOUBLINGS = 4     # growth bits available in cell tags (tables.bucket_of)
 GROW_NUM, GROW_DEN = 6, 10  # grow when used/capacity > 0.6 (integer compare)
+SIV_PRUNE_NUM, SIV_PRUNE_DEN = 5, 10  # prune singletons when fill > 0.5
 
 
 def grow_tables(dcfg, dna_state, verbosity: int = 0):
@@ -316,6 +317,18 @@ def grow_tables(dcfg, dna_state, verbosity: int = 0):
             if verbosity >= 1:
                 print(f"  {pre}mer table grown to 2^{cur + 1} buckets "
                       f"(fill {used / cap:.2f})")
+    # SIV has fixed capacity: when it gets dense (WGS-scale inputs), clear
+    # singleton counters — sequencing-error noise — like the reference's
+    # conditionally_clear (bit_vec.h:168-202). Same deterministic rule on
+    # both sides, so the cascades keep matching.
+    nz, cap = _t.siv_fill(new.siv)
+    nz = int(nz)
+    if verbosity >= 2:
+        print(f"  siv fill: {nz}/{cap} ({nz / cap:.3f})")
+    if nz * SIV_PRUNE_DEN > cap * SIV_PRUNE_NUM:
+        new = new._replace(siv=_t.siv_prune(new.siv))
+        if verbosity >= 1:
+            print(f"  siv pruned (fill {nz / cap:.2f})")
     return new
 
 

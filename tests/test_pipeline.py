@@ -252,6 +252,25 @@ def test_streamed_compress_rejects_ids(tmp_path):
             str(tmp_path / "x.fqst"), stream_chunk_bytes=1 << 20)
 
 
+def test_siv_prunes_at_group_boundary_and_roundtrips(tmp_path, capsys):
+    """A deliberately tiny SIV (pmer_len=5 -> 256 counters) must cross the
+    0.5 fill threshold, prune singletons at a group boundary (both sides
+    replaying the rule), and still round-trip exactly."""
+    p = small_params(dna_mode=DnaMode.SE_ORIGINAL,
+                     quality_mode=QualityMode.NONE, verbosity=1)
+    p.pmer_len = 5
+    src = str(tmp_path / "in.fastq")
+    arc = str(tmp_path / "out.fqst")
+    dst = str(tmp_path / "roundtrip.fastq")
+    make_fastq(src, 700, 72, seed=5)
+    pipeline.compress_file(p, src, arc, group_mem_bytes=1)
+    out = capsys.readouterr().out
+    assert "siv pruned" in out
+    pipeline.decompress_file(Params(), arc, dst)
+    rin, rout = reads_of(src), reads_of(dst)
+    assert [r[0] for r in rin] == [r[0] for r in rout]
+
+
 def test_undersized_table_regrows_and_roundtrips(tmp_path, capsys):
     """VERDICT item 7: a deliberately undersized s/b-mer table must hit the
     0.6 fill threshold, regrow at a group boundary (both sides replaying the

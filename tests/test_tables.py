@@ -119,6 +119,20 @@ def test_count_table_update_is_deterministic_across_orderings():
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
 
 
+def test_siv_prune_clears_singletons_only():
+    """conditionally_clear analog (bit_vec.h:168-202): counters == 1 go to
+    zero, everything else survives untouched; fill stats track it."""
+    rng = np.random.default_rng(7)
+    c4 = rng.integers(0, 5, size=(64, 4)).astype(np.int32)
+    siv = tables.pack_counts(jnp.asarray(c4))
+    nz0, cap = tables.siv_fill(siv)
+    assert int(nz0) == int((c4 > 0).sum()) and cap == 256
+    pruned = tables.siv_prune(siv)
+    got = np.asarray(tables.unpack_counts(pruned))
+    want = np.where(c4 <= 1, 0, c4)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_table_grow_preserves_contents_and_finds():
     """Regrow (reference coordinated restruct, ht_kmer.h:88-112 +
     application.cpp:894-902): after table_grow every stored (key -> counts)
