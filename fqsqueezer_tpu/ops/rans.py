@@ -20,12 +20,130 @@ codec — decode is division-free).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 RANS_L = 1 << 16  # lower bound of normalized state interval
 WORD_BITS = 16
 WORD_MASK = (1 << 16) - 1
+
+# Pallas kernel path (TPU only): the whole T-step encode loop runs inside ONE
+# kernel per (batch, stream) with the lane states resident in VMEM scratch —
+# the XLA while-loop pays per-step dispatch on hundreds of thin steps, the
+# kernel pays VPU cost only. Chunked over rows so (freq, cum) stream through
+# VMEM with automatic double buffering.
+_PALLAS_CHUNK = 256
+
+
+def _div_u32_by_u16(x: jax.Array, f: jax.Array):
+    """Exact (x // f, x % f) for u32 x and u16-range f (1 <= f <= 2^16),
+    without integer division: base-2^8 long division, each digit an exact
+    f32 divide (numerator < f * 2^8 <= 2^24) with a +/-1 correction step.
+    Mosaic has no u32 vector divide; this is ~20 cheap VPU ops."""
+    xi = x
+    q = jnp.zeros_like(x)
+    r = jnp.zeros_like(x)
+    finv = 1.0 / f.astype(jnp.float32)
+    for d in (24, 16, 8, 0):
+        num = (r << 8) | ((xi >> d) & jnp.uint32(0xFF))
+        qd = (num.astype(jnp.float32) * finv).astype(jnp.uint32)
+        rd = num - qd * f
+        # correctly-rounded f32 divide of exact ints < 2^24 puts qd within
+        # +/-1 of the true digit; fix over-estimate (rd wrapped negative —
+        # top bit set, since true r < 2^17) BEFORE the under-estimate check
+        wrap = rd > jnp.uint32(0x80000000)
+        qd = jnp.where(wrap, qd - 1, qd)
+        rd = jnp.where(wrap, rd + f, rd)
+        under = rd >= f
+        qd = jnp.where(under, qd + 1, qd)
+        rd = jnp.where(under, rd - f, rd)
+        q = (q << 8) | qd
+        r = rd
+    return q, r
+
+
+def _rans_encode_kernel(init_ref, f_ref, c_ref, w_ref, e_ref, st_ref, x_ref,
+                        *, scale_bits: int, chunk: int):
+    shift = 32 - scale_bits
+    i = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        x_ref[:] = init_ref[:]
+
+    def body(j, _):
+        t = chunk - 1 - j
+        x = x_ref[:]
+        f = f_ref[t, :].astype(jnp.uint32)
+        c = c_ref[t, :].astype(jnp.uint32)
+        emit = (x >> shift) >= f
+        w_ref[t, :] = x & jnp.uint32(WORD_MASK)
+        e_ref[t, :] = emit.astype(jnp.uint32)
+        x = jnp.where(emit, x >> WORD_BITS, x)
+        q, r = _div_u32_by_u16(x, f)
+        x_ref[:] = (q << scale_bits) + c + r
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0)
+
+    @pl.when(i == n_chunks - 1)
+    def _():
+        st_ref[:] = x_ref[:]
+
+
+def _rans_encode_pallas(freq: jax.Array, cum: jax.Array, scale_bits: int,
+                        init_states: jax.Array, interpret: bool = False):
+    """(wplane, eplane, final_states) of the reverse encode walk — identical
+    values to the lax.scan path, produced by one chunked Pallas kernel."""
+    T, N = freq.shape
+    CT = _PALLAS_CHUNK
+    T_pad = -(-T // CT) * CT
+    if T_pad != T:
+        # (f=2^SB, c=0) rows are exact no-ops for state and emission
+        pad = ((0, T_pad - T), (0, 0))
+        freq = jnp.pad(freq, pad, constant_values=1 << scale_bits)
+        cum = jnp.pad(cum, pad)
+    n_chunks = T_pad // CT
+    rev = lambda i: (n_chunks - 1 - i, 0)
+    wplane, eplane, st = pl.pallas_call(
+        functools.partial(_rans_encode_kernel, scale_bits=scale_bits,
+                          chunk=CT),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # init states
+            pl.BlockSpec((CT, N), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT, N), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((CT, N), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CT, N), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # final states
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T_pad, N), jnp.uint32),
+            jax.ShapeDtypeStruct((T_pad, N), jnp.uint32),
+            jax.ShapeDtypeStruct((N,), jnp.uint32),
+        ],
+        scratch_shapes=[pltpu.VMEM((N,), jnp.uint32)],
+        interpret=interpret,
+    )(init_states, freq.astype(jnp.uint32), cum.astype(jnp.uint32))
+    return wplane[:T], eplane[:T].astype(bool), st
+
+
+try:  # Pallas is TPU-only here; CPU tests use the lax.scan path
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+
+def _use_pallas(n_lanes: int) -> bool:
+    return (_HAVE_PALLAS and n_lanes % 128 == 0
+            and jax.default_backend() == "tpu")
 
 
 def rans_initial_states(n_lanes: int) -> jax.Array:
@@ -56,44 +174,45 @@ def rans_encode(freq: jax.Array, cum: jax.Array, scale_bits: int,
     if init_states is None:
         init_states = rans_initial_states(N)
 
-    lane_rev = jnp.arange(N - 1, -1, -1)
+    # Thin sequential steps: the scan carries ONLY the [N] states and stacks
+    # per-step (word, emit) rows — no per-step cumsum/scatter, no carried
+    # word buffer. Compaction to the tightly-packed decode-order stream is
+    # ONE vectorized pass afterwards. Encode emission order is the exact
+    # reverse of decode consumption order, so the packed sequence is simply
+    # the emitted entries of the [T, N] planes in row-major (t, lane) order
+    # — byte-identical to the per-step packing this replaces.
+    if _use_pallas(N):
+        wplane, eplane, x = _rans_encode_pallas(freq, cum, scale_bits,
+                                                init_states)
+    else:
+        def step(x, inp):
+            f, c = inp
+            f = f.astype(jnp.uint32)
+            c = c.astype(jnp.uint32)
 
-    def step(carry, inp):
-        x, wptr, buf = carry
-        f, c = inp
-        f = f.astype(jnp.uint32)
-        c = c.astype(jnp.uint32)
+            # renorm before encoding: emit low 16 bits when x >= f << shift
+            emit = (x >> shift) >= f
+            word = x & WORD_MASK
+            x = jnp.where(emit, x >> WORD_BITS, x)
 
-        # renorm before encoding: emit low 16 bits when x >= f << shift
-        emit = (x >> shift) >= f
-        word = x & WORD_MASK
-        x = jnp.where(emit, x >> WORD_BITS, x)
+            # state update: x' = (x/f) << SB + c + x%f
+            q = x // f
+            r = x - q * f
+            x = (q << scale_bits) + c + r
+            return x, (word, emit)
 
-        # emission order within a step is lane-descending (reverse of decode)
-        emit_rev = emit[lane_rev]
-        off_rev = jnp.cumsum(emit_rev.astype(jnp.int32)) - emit_rev.astype(jnp.int32)
-        off = off_rev[lane_rev]
-        pos = jnp.where(emit, wptr + off, cap)  # cap -> dropped by scatter
-        buf = buf.at[pos].set(word, mode="drop")
-        wptr = wptr + jnp.sum(emit.astype(jnp.int32))
-
-        # state update: x' = (x/f) << SB + c + x%f
-        q = x // f
-        r = x - q * f
-        x = (q << scale_bits) + c + r
-        return (x, wptr, buf), None
-
-    buf0 = jnp.zeros((cap,), dtype=jnp.uint32)
-    (x, wptr, buf), _ = jax.lax.scan(
-        step,
-        (init_states, jnp.int32(0), buf0),
-        (freq.astype(jnp.uint32), cum.astype(jnp.uint32)),
-        reverse=True,
-    )
-    # buffer was written in encode (reverse) order; decode order = reversed prefix
-    words = jnp.flip(buf)  # decode-order words live at [cap-n_words:], flipped -> [:n_words]
-    # after flip, the first (cap - wptr) entries are the unused zeros; shift:
-    words = jnp.roll(words, wptr - cap)
+        x, (wplane, eplane) = jax.lax.scan(
+            step,
+            init_states,
+            (freq.astype(jnp.uint32), cum.astype(jnp.uint32)),
+            reverse=True,
+        )
+    e = eplane.reshape(-1)
+    ei = e.astype(jnp.int32)
+    pos = jnp.cumsum(ei) - ei            # exclusive prefix, decode order
+    wptr = jnp.sum(ei)
+    words = jnp.zeros((cap,), jnp.uint32).at[
+        jnp.where(e, pos, cap)].set(wplane.reshape(-1), mode="drop")
     return words, wptr, x
 
 

@@ -17,6 +17,12 @@ try:
     import jax
     from jax._src import xla_bridge
 
+    # Pallas must be imported while 'tpu' is still a known platform (its
+    # lowering registrations name the tpu platform); importing it does NOT
+    # initialize a backend, so the tunnel stays untouched.
+    from jax.experimental import pallas as _pl            # noqa: F401
+    from jax.experimental.pallas import tpu as _pltpu     # noqa: F401
+
     # sitecustomize imported jax before this conftest ran, so the env var
     # alone is not enough — update the live config too.
     jax.config.update("jax_platforms", "cpu")
