@@ -50,6 +50,19 @@ def model_cdf(freqs: jax.Array, ctx: jax.Array, scale_bits: int) -> jax.Array:
     return _rows_to_cdf(freqs[ctx] + ALPHA, scale_bits)
 
 
+def model_cdf_masked(freqs: jax.Array, alpha_lut: jax.Array, ctx: jax.Array,
+                     scale_bits: int) -> jax.Array:
+    """model_cdf with a per-context ALPHA mask: contexts whose slot can only
+    ever code a small sub-alphabet (e.g. the id stream's 2-symbol flag and
+    9-symbol delta slots inside a 256-wide model) get additive smoothing on
+    the valid columns ONLY. Invalid symbols quantize to zero-width cdf steps;
+    cdf_lookup resolves an equal-boundary run to the next valid symbol, and
+    the encoder never emits an invalid symbol — so round-trips are exact
+    while the dead-symbol probability mass (and the 8-bit cold-start cost)
+    disappears. alpha_lut: [M, A] 0/1 int32."""
+    return _rows_to_cdf(freqs[ctx] + alpha_lut[ctx], scale_bits)
+
+
 def local_cap(n_sym: int, scale_bits: int) -> int:
     """Per-symbol cap on in-batch local deltas: keeps every smoothed row
     total <= 2^scale_bits so quantized frequencies stay >= 1 (the freq>=1

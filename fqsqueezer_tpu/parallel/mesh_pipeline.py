@@ -70,6 +70,9 @@ def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
         id_chain = None
 
     p.mesh_dp, p.mesh_tp = dp, tp
+    # mesh id path stays on codec v1 (no per-shard n_valid plumbing yet);
+    # recorded in the header so decode matches
+    p.id_codec_v = 1
     dcfg, qcfg, mcfg, icfg = base.make_configs(p)
     mesh, state, bspec = _mesh_and_specs(p, dcfg, qcfg, mcfg, icfg, dp, tp)
     enc = sharded.make_sharded_model(dcfg, qcfg, mcfg, icfg, mesh)

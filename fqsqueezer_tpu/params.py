@@ -87,6 +87,7 @@ class Params:
     # id geometry (set at compress time from the data; stored in the header)
     max_id_len: int = 64
     id_n_fields: int = 4   # numeric token fields per id (see streams/ids.py)
+    id_codec_v: int = 2    # id stream codec version (see ids.IdConfig)
 
     # TPU execution geometry
     mesh_dp: int = 1               # data-parallel shards the archive was written with
@@ -135,7 +136,7 @@ class Params:
     _HDR_KEYS = (
         "dna_mode", "id_mode", "quality_mode", "quality_thr",
         "duplicates_check", "prefix_len", "pmer_len", "smer_len", "bmer_len",
-        "max_id_len", "id_n_fields",
+        "max_id_len", "id_n_fields", "id_codec_v",
         "mesh_dp", "mesh_tp",
         "n_lanes", "max_batch_reads", "scale_bits",
         "smer_log2_buckets", "bmer_log2_buckets", "pe_log2_buckets",
@@ -144,7 +145,8 @@ class Params:
 
     # decode-affecting params whose absence in an archive header means the
     # writer predates the feature (NOT "use the current default")
-    _HDR_LEGACY = {"local_log2_cells": 0, "local_model_inc": 8}
+    _HDR_LEGACY = {"local_log2_cells": 0, "local_model_inc": 8,
+                   "id_codec_v": 1}
 
     def store_params(self) -> bytes:
         d = {}

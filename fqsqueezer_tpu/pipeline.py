@@ -69,7 +69,7 @@ def make_configs(p: Params):
     if p.id_mode != IdMode.NONE:
         icfg = ids.IdConfig(max_id_len=p.max_id_len,
                             n_fields=p.id_n_fields, scale_bits=p.scale_bits,
-                            n_lanes=p.n_lanes)
+                            n_lanes=p.n_lanes, codec_v=p.id_codec_v)
     return dcfg, qcfg, mcfg, icfg
 
 
@@ -142,7 +142,7 @@ def _pack_inputs(codes_u8: np.ndarray, quals_u8, qcfg, qfwd_np):
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3), donate_argnums=(4,))
 def _model_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes_pack,
-                 nmask_pack, q_pack, lengths, id_batch):
+                 nmask_pack, q_pack, lengths, id_batch, n_valid=None):
     """Modeling + state evolution only: returns per-stream (freq, cum) lane
     grids (uint16, kept device-resident by the caller for deferred
     group-chained rANS emission), plus the new state. Inputs arrive
@@ -209,7 +209,7 @@ def _model_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes_pack,
         q_model = None
     if icfg is not None:
         i_ctx, i_syms, i_f, i_c, i_act = _ids.id_modeling(
-            icfg, state.id, *id_batch)
+            icfg, state.id, *id_batch, n_valid=n_valid)
         i_model = _m.model_update(
             state.id, i_ctx.reshape(-1), i_syms.reshape(-1), i_act.reshape(-1))
         grids.append((g16(i_f, icfg.n_lanes), g16(i_c, icfg.n_lanes)))
@@ -253,7 +253,7 @@ def _trim_words(words_u16, n: int):
 def _decode_batch(dcfg, qcfg, mcfg, icfg, R, L, state: CodecState,
                   m_words, m_states, i_words, i_states,
                   d_words, d_states, q_words, q_states,
-                  pe_words=None, pe_states=None):
+                  pe_words=None, pe_states=None, n_valid=None):
     """Decode one batch; returns the per-stream FINAL lane states so the
     caller can chain them into the next batch of the group."""
     lengths, lcp, m_model, m_x, _ = meta.meta_decode_batch(
@@ -271,7 +271,8 @@ def _decode_batch(dcfg, qcfg, mcfg, icfg, R, L, state: CodecState,
         qsyms, q_model, q_x = jnp.zeros((R, L), jnp.int32), None, q_states
     if icfg is not None:
         (i_flag, i_dsym, i_dmag, i_emat, i_elens, i_model, i_x,
-         _) = ids.id_decode_batch(icfg, state.id, R, i_words, i_states)
+         _) = ids.id_decode_batch(icfg, state.id, R, i_words, i_states,
+                                  n_valid)
         id_batch = (i_flag, i_dsym, i_dmag, i_emat, i_elens)
     else:
         id_batch = tuple(jnp.asarray(a) for a in ids.zero_id_batch(R))
@@ -582,7 +583,8 @@ def compress_file(p: Params, in_path: str, out_path: str,
             ids_batch = ids_raw + [b""] * (padded - take)
             id_np = ids.encode_ids_host(
                 ids_batch, ids.read_lanes(padded, p.n_lanes),
-                icfg.n_fields, icfg.max_id_len, id_chain)
+                icfg.n_fields, icfg.max_id_len, id_chain,
+                n_valid=take if icfg.codec_v >= 2 else None)
         else:
             id_np = ids.zero_id_batch(padded)
 
@@ -596,7 +598,8 @@ def compress_file(p: Params, in_path: str, out_path: str,
         kp_d, nm_d, qp_d, len_d, id_d = jax.device_put(
             (kp, nm, qp, lengths, tuple(id_np)))
         grids, state = _model_batch(
-            dcfg, qcfg, mcfg, icfg, state, kp_d, nm_d, qp_d, len_d, id_d)
+            dcfg, qcfg, mcfg, icfg, state, kp_d, nm_d, qp_d, len_d, id_d,
+            n_valid=jnp.int32(take))
         group_fc.append(grids)   # device-resident uint16 grids
         group_meta.append((take, L8))
         group_bytes += sum(f.size * 2 + c.size * 2 for f, c in grids)
@@ -689,7 +692,8 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
                 # host detokenization replays the encoder's per-lane chains
                 id_all = ids.decode_ids_host(
                     *(np.asarray(a) for a in id_batch),
-                    ids.read_lanes(padded, p.n_lanes), id_chain)
+                    ids.read_lanes(padded, p.n_lanes), id_chain,
+                    n_valid=take if icfg.codec_v >= 2 else None)
                 ids_np = id_all[:take]
             else:
                 ids_np = None
@@ -748,7 +752,8 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
              (m_x, d_x, q_x, i_x, pe_x)) = _decode_batch(
                 dcfg, qcfg, mcfg, icfg, padded, L, state,
                 m_w, m_states, i_w, i_states, d_w, d_states, q_w, q_states,
-                pe_w if with_pe_stream else None, pe_states)
+                pe_w if with_pe_stream else None, pe_states,
+                n_valid=jnp.int32(take))
             nxt = [m_x, d_x]
             if qcfg is not None:
                 nxt.append(q_x)

@@ -57,6 +57,15 @@ class IdConfig:
     n_fields: int = 4             # numeric fields (per-file, <= F_CAP)
     scale_bits: int = 14
     n_lanes: int = 1024
+    # codec version (archive header id_codec_v). v2: (a) per-context
+    # sub-alphabets — the flag slot can only code {0,1} and delta slots only
+    # 0..8, so ALPHA smoothing over the other ~250 symbols of the shared
+    # 256-wide model is pure waste (~0.05 bits/symbol converged, 8 bits cold
+    # vs 1-3.2); (b) padding reads (row >= n_valid) code NOTHING and leave
+    # the host chains untouched (v1 coded an escape flag + 2 length bytes
+    # per padded row and corrupted the chain into one extra escape per
+    # padded batch). v1 kept for older archives.
+    codec_v: int = 2
 
     @property
     def w_sym(self) -> int:
@@ -69,6 +78,16 @@ class IdConfig:
 
 def id_state_create() -> jax.Array:
     return models.model_create(N_CTX, N_SYM)
+
+
+def _alpha_lut_np() -> np.ndarray:
+    """[N_CTX, 256] 0/1 ALPHA mask: which symbols each context can code
+    (codec v2). Flag: {0, 1}; delta slots: the 9 delta symbols; magnitude /
+    length / raw-byte slots: full byte alphabet."""
+    lut = np.ones((N_CTX, N_SYM), np.int32)
+    lut[CTX_FLAG, 2:] = 0
+    lut[CTX_DELTA0:CTX_DELTA0 + F_CAP, 9:] = 0
+    return lut
 
 
 # ---------------------------------------------------------------------------
@@ -159,11 +178,14 @@ def mesh_read_lanes(R: int, dp: int, n_lanes: int) -> np.ndarray:
     return np.arange(R) // (R // dp)
 
 
-def encode_ids_host(ids, lanes: np.ndarray, F: int, M: int, chain: list):
+def encode_ids_host(ids, lanes: np.ndarray, F: int, M: int, chain: list,
+                    n_valid: int | None = None):
     """Tokenize one (padded) batch of ids against the per-lane chains.
     lanes: [R] chain index per read (read_lanes / mesh layout).
     chain: list per lane of (template, values) or None — MUTATED in place
-    (the decoder replays the identical updates). Returns
+    (the decoder replays the identical updates). n_valid (codec v2): rows
+    >= n_valid are padding — they code nothing and leave the chains alone.
+    Returns
     (flag [R]u8, dsym [R,F]u8, dmag [R,F,4]u8, emat [R,M]u8, elens [R]i32).
     """
     R = len(ids)
@@ -172,6 +194,9 @@ def encode_ids_host(ids, lanes: np.ndarray, F: int, M: int, chain: list):
     dmag = np.zeros((R, F, MAGS), np.uint8)
     emat = np.zeros((R, M), np.uint8)
     elens = np.zeros(R, np.int32)
+    if n_valid is not None:
+        flag[n_valid:] = 0
+        R = min(R, n_valid)
     for r in range(R):
         s = ids[r]
         lane = lanes[r]
@@ -234,10 +259,15 @@ def _delta_of(sym: int, mag_row) -> int:
 
 
 def decode_ids_host(flag, dsym, dmag, emat, elens, lanes: np.ndarray,
-                    chain: list) -> list:
+                    chain: list, n_valid: int | None = None) -> list:
     """Inverse of encode_ids_host (same chain discipline)."""
     R = flag.shape[0]
     out = []
+    if n_valid is not None and n_valid < R:
+        out_pad = [b""] * (R - n_valid)
+        R = n_valid
+    else:
+        out_pad = []
     for r in range(R):
         lane = lanes[r]
         if flag[r]:
@@ -250,7 +280,7 @@ def decode_ids_host(flag, dsym, dmag, emat, elens, lanes: np.ndarray,
             s = detokenize(t, v)
         chain[lane] = (t, v)
         out.append(s)
-    return out
+    return out + out_pad
 
 
 def zero_id_batch(R: int):
@@ -265,9 +295,10 @@ def zero_id_batch(R: int):
 # ---------------------------------------------------------------------------
 
 def id_modeling(cfg: IdConfig, model: jax.Array, flag, dsym, dmag,
-                emat, elens):
+                emat, elens, n_valid=None):
     """Build the per-read symbol grid and its (static) contexts/activity.
-    Returns (ctx [R, W], syms [R, W], f, c, active)."""
+    n_valid (codec v2, traced scalar): rows >= n_valid are padding and code
+    nothing. Returns (ctx [R, W], syms [R, W], f, c, active)."""
     R = flag.shape[0]
     F, M = cfg.n_fields, cfg.max_id_len
     nb_lut = jnp.asarray(_NB_LUT)
@@ -305,7 +336,14 @@ def id_modeling(cfg: IdConfig, model: jax.Array, flag, dsym, dmag,
         esc[:, None], esc[:, None],
         esc[:, None] & (col < elens[:, None])], axis=1)
 
-    cdf = models.model_cdf(model, ctx, cfg.scale_bits)
+    if cfg.codec_v >= 2:
+        if n_valid is not None:
+            active = active & (jnp.arange(R, dtype=jnp.int32)
+                               < n_valid)[:, None]
+        cdf = models.model_cdf_masked(model, jnp.asarray(_alpha_lut_np()),
+                                      ctx, cfg.scale_bits)
+    else:
+        cdf = models.model_cdf(model, ctx, cfg.scale_bits)
     f, c = models.cdf_encode_lookup(cdf, syms)
     f = jnp.where(active, f, 1 << cfg.scale_bits)
     c = jnp.where(active, c, 0)
@@ -313,9 +351,9 @@ def id_modeling(cfg: IdConfig, model: jax.Array, flag, dsym, dmag,
 
 
 def id_encode_batch(cfg: IdConfig, model: jax.Array, flag, dsym, dmag,
-                    emat, elens):
+                    emat, elens, n_valid=None):
     ctx, syms, f, c, active = id_modeling(cfg, model, flag, dsym, dmag,
-                                          emat, elens)
+                                          emat, elens, n_valid)
     fg = common.to_grid(f, cfg.n_lanes)
     cg = common.to_grid(c, cfg.n_lanes)
     words, n_words, states = rans.rans_encode(fg, cg, cfg.scale_bits)
@@ -325,7 +363,7 @@ def id_encode_batch(cfg: IdConfig, model: jax.Array, flag, dsym, dmag,
 
 
 def id_decode_batch(cfg: IdConfig, model: jax.Array, R: int,
-                    words: jax.Array, init_states: jax.Array):
+                    words: jax.Array, init_states: jax.Array, n_valid=None):
     """Decode the symbol grid. Returns (flag [R], dsym [R,F], dmag [R,F,4],
     emat [R,M] u8, elens [R], new_model, final_states, ptr). Host
     detokenization (decode_ids_host) turns these back into id bytes."""
@@ -335,6 +373,8 @@ def id_decode_batch(cfg: IdConfig, model: jax.Array, R: int,
     W = cfg.w_all
     sb = cfg.scale_bits
     nb_lut = jnp.asarray(_NB_LUT)
+    alpha_lut = (jnp.asarray(_alpha_lut_np()) if cfg.codec_v >= 2 else None)
+    lane_idx = jnp.arange(N, dtype=jnp.int32)
     i_len0 = 1 + F * (1 + MAGS)
     i_len1 = i_len0 + 1
     i_byte0 = i_len1 + 1
@@ -370,7 +410,13 @@ def id_decode_batch(cfg: IdConfig, model: jax.Array, R: int,
                                 jnp.where((i == i_len0) | (i == i_len1), esc,
                                           esc & (i - i_byte0 < len_c)))))
 
-        cdf = models.model_cdf(model, ctx, sb)
+        if cfg.codec_v >= 2:
+            if n_valid is not None:
+                # read of (lane, row) = lane * r_pl + row (common.to_grid)
+                active = active & (lane_idx * r_pl + t // W < n_valid)
+            cdf = models.model_cdf_masked(model, alpha_lut, ctx, sb)
+        else:
+            cdf = models.model_cdf(model, ctx, sb)
         slot = rans.rans_decode_slots(x, sb)
         sym, f, c = rans.cdf_lookup(cdf, slot)
         f = jnp.where(active, f, 1 << sb)
@@ -399,7 +445,7 @@ def id_decode_batch(cfg: IdConfig, model: jax.Array, R: int,
     emat = grid[:, i_byte0:].astype(jnp.uint8)
 
     ctx, syms, _, _, active = id_modeling(cfg, model, flag, dsym, dmag,
-                                          emat, elens)
+                                          emat, elens, n_valid)
     new_model = models.model_update(
         model, ctx.reshape(-1), syms.reshape(-1), active.reshape(-1))
     return flag, dsym, dmag, emat, elens, new_model, x, ptr
