@@ -33,6 +33,8 @@ def state_to_arrays(state: CodecState) -> dict:
         "dna_model": np.asarray(state.dna.model),
         "meta": np.asarray(state.meta),
     }
+    if state.dna.cmodel is not None:
+        out["dna_cmodel"] = np.asarray(state.dna.cmodel)
     if state.qual is not None:
         out["qual"] = np.asarray(state.qual)
     if state.id is not None:
@@ -48,7 +50,9 @@ def arrays_to_state(d: dict) -> CodecState:
             s_cnts=jnp.asarray(d["dna_s_cnts"]),
             b_tags=jnp.asarray(d["dna_b_tags"]),
             b_cnts=jnp.asarray(d["dna_b_cnts"]),
-            model=jnp.asarray(d["dna_model"])),
+            model=jnp.asarray(d["dna_model"]),
+            cmodel=(jnp.asarray(d["dna_cmodel"])
+                    if "dna_cmodel" in d else None)),
         meta=jnp.asarray(d["meta"]),
         qual=jnp.asarray(d["qual"]) if "qual" in d else None,
         id=jnp.asarray(d["id"]) if "id" in d else None)

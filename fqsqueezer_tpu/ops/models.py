@@ -63,12 +63,45 @@ def model_cdf_masked(freqs: jax.Array, alpha_lut: jax.Array, ctx: jax.Array,
     return _rows_to_cdf(freqs[ctx] + alpha_lut[ctx], scale_bits)
 
 
-def local_cap(n_sym: int, scale_bits: int) -> int:
+def model_cdf_mix(freqs: jax.Array, coarse: jax.Array, ctx: jax.Array,
+                  cctx: jax.Array, scale_bits: int, w: int, b: int,
+                  local: jax.Array | None = None) -> jax.Array:
+    """Two-level context mix: the TPU-shaped analog of the reference's
+    adaptive context-level hierarchy (dna.cpp:2107-2286, code_ctx.cpp:257-324
+    — young fine contexts there start as CLONES of a coarser parent model).
+    Instead of cloning, every lookup blends a coarse-context row into the
+    fine row with a weight that fades as the fine row matures:
+
+        w_eff  = (w * b) // (t_fine + b)          # pseudo-count budget
+        rows   = fine + (coarse_row * w_eff) // (t_coarse + A) + ALPHA
+
+    At t_fine = 0 the coarse distribution contributes ~w pseudo-counts
+    (young contexts inherit the parent's statistics); by t_fine >> b it
+    contributes nothing (mature contexts keep their full sharpness).
+    All-integer and applied identically by encoder and decoder.
+
+    Headroom: t_fine <= 2^RAW_CAP_BITS (model_update), coarse adds <= w + A,
+    local deltas are clamped by local_cap(..., extra=w) — so every smoothed
+    row total stays <= 2^scale_bits and quantized frequencies stay >= 1."""
+    f = freqs[ctx]
+    if local is not None:
+        cap = local_cap(freqs.shape[1], scale_bits, extra=w)
+        f = f + jnp.minimum(local[ctx], cap)
+    g = coarse[cctx]
+    tf = jnp.sum(f, axis=-1, keepdims=True)
+    tg = jnp.sum(g, axis=-1, keepdims=True)
+    w_eff = (w * b) // (tf + b)
+    rows = f + (g * w_eff) // (tg + freqs.shape[1]) + ALPHA
+    return _rows_to_cdf(rows, scale_bits)
+
+
+def local_cap(n_sym: int, scale_bits: int, extra: int = 0) -> int:
     """Per-symbol cap on in-batch local deltas: keeps every smoothed row
     total <= 2^scale_bits so quantized frequencies stay >= 1 (the freq>=1
-    proof needs total <= 2^SB; global rows are capped at 2^RAW_CAP_BITS)."""
-    return max(1, ((1 << scale_bits) - (1 << RAW_CAP_BITS) - 2 * n_sym)
-               // n_sym)
+    proof needs total <= 2^SB; global rows are capped at 2^RAW_CAP_BITS).
+    extra: additional headroom to reserve (model_cdf_mix's coarse budget)."""
+    return max(1, ((1 << scale_bits) - (1 << RAW_CAP_BITS) - 2 * n_sym
+                   - extra) // n_sym)
 
 
 def model_cdf_local(freqs: jax.Array, local: jax.Array, ctx: jax.Array,

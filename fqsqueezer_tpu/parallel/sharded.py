@@ -100,13 +100,14 @@ class TpBackend:
                                    valid & own, bkt=idx, tag=tag)
 
 
-def state_specs(qual: bool, with_ids: bool = False):
+def state_specs(qual: bool, with_ids: bool = False, with_mix: bool = False):
     """PartitionSpecs for CodecState: tables sharded over tp, models replicated."""
     from ..pipeline import CodecState
 
     dna_spec = dna.DnaState(
         siv=P("tp"), s_tags=P("tp"), s_cnts=P("tp"),
-        b_tags=P("tp"), b_cnts=P("tp"), model=P())
+        b_tags=P("tp"), b_cnts=P("tp"), model=P(),
+        cmodel=P() if with_mix else None)
     return CodecState(dna=dna_spec, meta=P(), qual=P() if qual else None,
                       id=P() if with_ids else None)
 
@@ -192,7 +193,7 @@ def make_sharded_model(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
                                        id_batch)
         return tuple(grids), new_state
 
-    sspec = state_specs(qcfg is not None, icfg is not None)
+    sspec = state_specs(qcfg is not None, icfg is not None, dcfg.mix_w > 0)
     batch = P("dp")
     n_streams = 2 + (qcfg is not None) + (icfg is not None)
     gspec = (P(None, "dp"), P(None, "dp"))  # [T, dp*N] lane grids
@@ -247,7 +248,7 @@ def make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
         i_out = (coded[2 + (qcfg is not None)] if icfg is not None else zero)
         return m_out, i_out, d_out, q_out, new_state
 
-    sspec = state_specs(qcfg is not None, icfg is not None)
+    sspec = state_specs(qcfg is not None, icfg is not None, dcfg.mix_w > 0)
     batch = P("dp")
     out_stream = (P("dp"), P("dp"), P("dp"))
     fn = jax.shard_map(
@@ -257,7 +258,7 @@ def make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
         check_vma=False)
     return jax.jit(fn)
 
-    sspec = state_specs(qcfg is not None, icfg is not None)
+    sspec = state_specs(qcfg is not None, icfg is not None, dcfg.mix_w > 0)
     batch = P("dp")
     out_stream = (P("dp"), P("dp"), P("dp"))
     fn = jax.shard_map(
@@ -335,7 +336,7 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
             + ([i_x] if icfg is not None else [])
         return lengths, codes, qsyms, id_batch, new_state, tuple(xs)
 
-    sspec = state_specs(qcfg is not None, icfg is not None)
+    sspec = state_specs(qcfg is not None, icfg is not None, dcfg.mix_w > 0)
     w = P("dp")
     n_streams = 2 + (qcfg is not None) + (icfg is not None)
     fn = jax.shard_map(

@@ -109,6 +109,19 @@ class Params:
     # contexts are already well-estimated; in-batch deltas add sampling
     # noise): DNA 1,559,442 (inc 0) vs 1,578,800 (inc 8) at batch 4096.
     local_model_inc: int = 0
+    # two-level model mix (streams/dna.py _dna_cdf): coarse pseudo-count
+    # budget for young fine contexts (0 = off) and its fade constant.
+    # Swept on the standard corpus (DNA bytes): off 1,559,374; 32:64
+    # 1,549,356; 256:256 1,540,204; 2048:2048 1,535,066; 2048:4096
+    # 1,535,048 (best); 8000:8000 1,537,462. Flat-ish weights win — fine
+    # count-profile contexts stay noisy even when mature here.
+    dna_mix_w: int = 2048
+    dna_mix_b: int = 4096
+    # sorted-mode LCP-distance position bucket (dna._pos_bucket_sorted).
+    # Measured WORSE on the se_sorted corpus (DNA 1,415,710 vs 1,409,006
+    # with the absolute-position bucket) — kept off; the knob stays for
+    # real-data re-evaluation.
+    dna_sorted_ctx: int = 0
 
     def adjust_kmer_sizes(self) -> None:
         """Auto-pick k-mer lengths from genome size (parity: params.h:131-155)."""
@@ -141,12 +154,14 @@ class Params:
         "n_lanes", "max_batch_reads", "scale_bits",
         "smer_log2_buckets", "bmer_log2_buckets", "pe_log2_buckets",
         "local_log2_cells", "local_model_inc",
+        "dna_mix_w", "dna_mix_b", "dna_sorted_ctx",
     )
 
     # decode-affecting params whose absence in an archive header means the
     # writer predates the feature (NOT "use the current default")
     _HDR_LEGACY = {"local_log2_cells": 0, "local_model_inc": 8,
-                   "id_codec_v": 1}
+                   "id_codec_v": 1, "dna_mix_w": 0, "dna_mix_b": 64,
+                   "dna_sorted_ctx": 0}
 
     def store_params(self) -> bytes:
         d = {}

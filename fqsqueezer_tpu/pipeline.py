@@ -46,6 +46,9 @@ def make_configs(p: Params):
         bmer_log2_buckets=p.bmer_log2_buckets,
         local_log2_cells=p.local_log2_cells,
         local_model_inc=p.local_model_inc,
+        mix_w=p.dna_mix_w, mix_b=p.dna_mix_b,
+        sorted_ctx=(p.dna_sorted_ctx > 0
+                    and p.dna_mode in (DnaMode.SE_SORTED, DnaMode.PE_SORTED)),
         # anchor machinery on the single-chip PE path only (the mesh path
         # does not carry the pair table yet); mesh archives set mesh_dp/tp
         # and decode through mesh_pipeline, so the flag matches both sides

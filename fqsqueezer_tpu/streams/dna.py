@@ -55,6 +55,24 @@ _Q23 = (1, 2, 4)                                                 # 2 bits
 
 LEVEL_NONE, LEVEL_PMER, LEVEL_SMER, LEVEL_MIXED, LEVEL_BMER = 0, 1, 2, 3, 4
 
+# coarse (parent) contexts for the two-level model mix (models.model_cdf_mix):
+# code branch keeps (level, q0, q1) = 9 bits; letters branch keeps the
+# previous 2 letters + position bucket = 10 bits. Richer coarse contexts
+# (q2/q3, a third letter) were measured WORSE on the standard corpus
+# (1,537,710 vs 1,535,066 DNA bytes at w=b=2048): the parent must stay
+# coarse enough to be mature everywhere.
+N_COARSE_CODE = 1 << 9
+N_COARSE_CTX = N_COARSE_CODE + (1 << 10)
+
+
+def _coarse_ctx(ctx_all):
+    """Derive the coarse context from the packed fine context (same bit
+    layout as _code_ctx / _letters_plane, so no extra plumbing)."""
+    is_let = ctx_all >= (1 << CODE_CTX_BITS)
+    code_c = ctx_all & 0x1FF                       # level | q0<<2 | q1<<6
+    let_c = (ctx_all & 0x3F) | (((ctx_all >> 15) & 0xF) << 6)
+    return jnp.where(is_let, N_COARSE_CODE + let_c, code_c)
+
 # k-mer repair (reference repair_kmers_existing/missing, dna.cpp:333-454):
 # when the actual base is unseen in a confident context, the rolling k-mer
 # registers carry the most-likely base instead, so one sequencing error does
@@ -85,6 +103,12 @@ class DnaConfig:
     # PE minimizer pair table (reference CHT_pair_kmers, ht_kmer.h:559-663);
     # 0 disables the anchor machinery (SE modes, and the mesh path for now)
     pe_log2_buckets: int = 0
+    # two-level model mix (models.model_cdf_mix): coarse pseudo-count budget
+    # at t_fine=0 (0 disables) and its fade constant
+    mix_w: int = 0
+    mix_b: int = 64
+    # sorted-mode LCP-distance position bucket (_pos_bucket_sorted)
+    sorted_ctx: bool = False
 
 
 class DnaState(NamedTuple):
@@ -96,6 +120,8 @@ class DnaState(NamedTuple):
     model: jax.Array  # [N_MODEL_CTX, A_SYM]
     # PE anchor state: (pair tags, vlo, vhi, cnt, pe stream model) or None
     pe: tuple | None = None
+    # coarse parent model [N_COARSE_CTX, A_SYM] (cfg.mix_w > 0) or None
+    cmodel: jax.Array | None = None
 
 
 def dna_state_create(cfg: DnaConfig) -> DnaState:
@@ -112,6 +138,8 @@ def dna_state_create(cfg: DnaConfig) -> DnaState:
         s_tags=s_tags, s_cnts=s_cnts, b_tags=b_tags, b_cnts=b_cnts,
         model=models.model_create(N_MODEL_CTX, A_SYM),
         pe=pe_state,
+        cmodel=(models.model_create(N_COARSE_CTX, A_SYM)
+                if cfg.mix_w > 0 else None),
     )
 
 
@@ -136,6 +164,22 @@ def _pos_bucket(i, length):
     pb = jnp.where(rem <= 4, 14, pb)
     pb = jnp.where(rem <= 2, 15, pb)
     return pb
+
+
+def _pos_bucket_sorted(pb, i, length, lcp):
+    """Sorted-mode position bucket (cfg.sorted_ctx): distance past the shared
+    prefix instead of absolute position. In sorted order the strongest signal
+    at a coded position is how far past the predecessor's LCP it sits (the
+    reference's prefix_sorted contexts condition on the same quantity,
+    code_ctx.cpp determine_ctx_codes sorted variant / dna.cpp:2029-2105);
+    absolute position adds little once reads are prefix-clustered. Same
+    4-bit budget, so the model layout is unchanged — the override is gated
+    by the archive header (params.dna_sorted_ctx) and replayed identically
+    by the decoder."""
+    d = jnp.minimum(i - lcp, 13)
+    rem = length - i
+    pbs = jnp.where(rem <= 2, 15, jnp.where(rem <= 4, 14, jnp.maximum(d, 0)))
+    return jnp.where(lcp > 0, pbs, pb)
 
 
 def _cascade_parts(state: DnaState, pm_ctx, s_lo, s_hi, b_lo, b_hi, vp, vs, vb,
@@ -347,10 +391,17 @@ def local_row_update(cfg, ls, lb, lm, eff_row, ctx_row, sym_row, act_row,
     return ls, lb, lm
 
 
-def _dna_cdf(cfg, model, lm, ctx, sb):
-    if cfg.local_model_inc > 0:
-        return models.model_cdf_local(model, lm, ctx, sb)
-    return models.model_cdf(model, ctx, sb)
+def _dna_cdf(cfg, state: DnaState, lm, ctx, sb):
+    """DNA model cdf: fine row, optional in-batch local deltas, optional
+    coarse-parent mix (cfg.mix_w)."""
+    local = lm if cfg.local_model_inc > 0 else None
+    if cfg.mix_w > 0:
+        return models.model_cdf_mix(state.model, state.cmodel, ctx,
+                                    _coarse_ctx(ctx), sb, cfg.mix_w,
+                                    cfg.mix_b, local)
+    if local is not None:
+        return models.model_cdf_local(state.model, local, ctx, sb)
+    return models.model_cdf(state.model, ctx, sb)
 
 
 def _local_state_create(cfg):
@@ -444,6 +495,8 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
         # PE anchor span: preset from the candidate value, never coded
         code_active = code_active & ~anchor_mask
     pb = _pos_bucket(pos, lens)
+    if cfg.sorted_ctx and lcp is not None:
+        pb = _pos_bucket_sorted(pb, pos, lens, lcp[:, None])
     let_ctx = _letters_plane(codes, pos, pb)
 
     parts, _ = _window_parts(cfg, state, kcodes, lengths, be)
@@ -452,7 +505,7 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
         counts, level = _cascade_combine(*parts)
         ctx_all, sym_enc = _ctx_sym_from_counts(
             cfg, counts, level, codes, code_active, pb, let_ctx, pos)
-        cdf = models.model_cdf(state.model, ctx_all, cfg.scale_bits)
+        cdf = _dna_cdf(cfg, state, None, ctx_all, cfg.scale_bits)
         f, c = models.cdf_encode_lookup(cdf, sym_enc)
         f = jnp.where(code_active, f, 1 << cfg.scale_bits)
         c = jnp.where(code_active, c, 0)
@@ -474,7 +527,7 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
         counts, level = _cascade_combine(*_merge_local(parts_r, cs_l, cb_l))
         ctx_r, sym_r = _ctx_sym_from_counts(
             cfg, counts, level, codes_r, cact_r, pb_r, let_r, pos)
-        cdf = _dna_cdf(cfg, state.model, lm, ctx_r, cfg.scale_bits)
+        cdf = _dna_cdf(cfg, state, lm, ctx_r, cfg.scale_bits)
         f, c = models.cdf_encode_lookup(cdf, sym_r)
         f = jnp.where(cact_r, f, 1 << cfg.scale_bits)
         c = jnp.where(cact_r, c, 0)
@@ -546,6 +599,11 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
     model = models.model_update(
         state.model, ctx_all.reshape(-1), sym_enc.reshape(-1),
         code_active.reshape(-1))
+    cmodel = state.cmodel
+    if cfg.mix_w > 0:
+        cmodel = models.model_update(
+            cmodel, _coarse_ctx(ctx_all).reshape(-1), sym_enc.reshape(-1),
+            code_active.reshape(-1))
 
     # SIV: packed siv_len windows are exactly (ctx<<2 | next_base) cell indices
     siv_f = kmers.pack_windows(kcodes, cfg.siv_len)[0].astype(jnp.int32)
@@ -595,7 +653,8 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
         pe_state = pair + (pe_model,)
 
     return DnaState(siv=siv, s_tags=s_tags, s_cnts=s_cnts,
-                    b_tags=b_tags, b_cnts=b_cnts, model=model, pe=pe_state)
+                    b_tags=b_tags, b_cnts=b_cnts, model=model, pe=pe_state,
+                    cmodel=cmodel)
 
 
 def dna_apply_batch(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
@@ -767,16 +826,19 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             use_code = (i >= cfg.prefix_len) & (level > LEVEL_NONE)
             pb = _pos_bucket(jnp.full_like(level, i),
                              jnp.broadcast_to(length, level.shape))
+            if cfg.sorted_ctx and with_lcp:
+                pb = _pos_bucket_sorted(
+                    pb, jnp.full_like(level, i),
+                    jnp.broadcast_to(length, level.shape),
+                    jnp.broadcast_to(my_lcp, level.shape))
             nz = _popcount4(rh)
             code_ctx = _code_ctx(level, counts, pb, nz)
             let_ctx = (lh & LH_MASK) | (pb << 15)
             ctx_all = jnp.where(use_code, code_ctx,
                                 (1 << CODE_CTX_BITS) + let_ctx)
 
-            if with_local:
-                cdf = _dna_cdf(cfg, state.model, loc[2], ctx_all, sb)
-            else:
-                cdf = models.model_cdf(state.model, ctx_all, sb)
+            cdf = _dna_cdf(cfg, state, loc[2] if with_local else None,
+                           ctx_all, sb)
             slot = rans.rans_decode_slots(x, sb)
             sym, f, c = rans.cdf_lookup(cdf, slot)
             coded = active & ~in_prefix & ~in_anchor

@@ -55,6 +55,35 @@ def test_dna_roundtrip_multibatch():
     assert total_words > 0
 
 
+def test_dna_roundtrip_mix():
+    """Two-level model mix (mix_w > 0): exact roundtrip + coarse model sync."""
+    cfg = dna.DnaConfig(siv_len=6, smer_len=9, bmer_len=14, prefix_len=7,
+                        n_lanes=4, smer_log2_buckets=10, bmer_log2_buckets=10,
+                        mix_w=32, mix_b=64)
+    rng = np.random.default_rng(7)
+    R, L = 16, 50
+    enc_state = dna.dna_state_create(cfg)
+    dec_state = dna.dna_state_create(cfg)
+    assert enc_state.cmodel is not None
+    genome = None
+    for b in range(3):
+        lengths = rng.integers(30, L + 1, size=R)
+        codes, lengths, genome = _mk_batch(rng, R, L, lengths, genome)
+        kcodes = np.where(codes >= 4, 0, codes).astype(np.int32)
+        words, n_words, states, enc_state = dna.dna_encode_batch(
+            cfg, enc_state, jnp.asarray(codes), jnp.asarray(kcodes),
+            jnp.asarray(lengths))
+        out, dec_state, fin, ptr, _ = dna.dna_decode_batch(
+            cfg, dec_state, jnp.asarray(lengths), words, states, L)
+        out = np.asarray(out)
+        mask = np.arange(L)[None] < lengths[:, None]
+        np.testing.assert_array_equal(np.where(mask, out, 0),
+                                      np.where(mask, codes, 0))
+        assert int(ptr) == int(n_words)
+        np.testing.assert_array_equal(np.asarray(enc_state.cmodel),
+                                      np.asarray(dec_state.cmodel))
+
+
 def test_dna_learning_reduces_size():
     """Later batches of the same genome must compress better than the first."""
     cfg = dna.DnaConfig(siv_len=6, smer_len=9, bmer_len=14, prefix_len=7,

@@ -81,8 +81,11 @@ def run_ours(name, kind, files, margs):
     cmd = [sys.executable, "-m", "fqsqueezer_tpu.cli", "e",
            "-p" if kind == "pe" else "-s", *margs, "-out", arc, *files]
     t0 = time.time()
-    subprocess.run(cmd, check=True, capture_output=True,
-                   cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    r = subprocess.run(cmd, capture_output=True, text=True,
+                       cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if r.returncode != 0:
+        sys.stderr.write(r.stdout[-2000:] + "\n" + r.stderr[-4000:] + "\n")
+        raise SystemExit(f"[{name}] ours failed rc={r.returncode}")
     return {"bytes": os.path.getsize(arc), "wall": round(time.time() - t0, 1)}
 
 
