@@ -200,7 +200,7 @@ def table_find(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
 
 def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
                  base: jax.Array, valid: jax.Array, bkt=None, tag=None,
-                 log2_base: int = -1):
+                 log2_base: int = -1, rounds: int = 2):
     """Batch-insert/increment (context -> next base) events.
 
     lo/hi/base/valid: [n]. Aggregates per key, then resolves bucket cells with
@@ -258,7 +258,7 @@ def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
         return tags.reshape(-1).at[flat_claim].max(tag, mode="drop").reshape(
             n_buckets, BUCKET)
 
-    tags = jax.lax.fori_loop(0, 2, claim_round, tags)
+    tags = jax.lax.fori_loop(0, rounds, claim_round, tags)
 
     # re-probe (winners and their duplicates now match); u8-packed delta +
     # one SWAR saturating sweep (see siv_update)
@@ -284,11 +284,18 @@ def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
 # causal order for BOTH the encoder (simulating the decoder's scan, see
 # streams/dna.py dna_local_sim) and the decoder (updating per scan step).
 #
-# Cells are single-slot, claim-on-first-touch: an empty cell is claimed by the
-# first key hashing to it; concurrent same-step claimants are resolved by
-# scatter-max of the tag (commutative => deterministic); keys that find the
-# cell owned by another tag are dropped for the rest of the batch. All rules
-# are branch-free vector ops replayed identically by both sides.
+# Cells are single-slot, claim-on-first-touch: the first read ROW to touch an
+# empty cell owns it for the batch. Ownership is encoded in the stored word
+# itself — (31 - row) in the top 5 bits, a 27-bit key tag below — so ONE
+# commutative scatter-max implements "earliest row wins, deterministic
+# tie-break within a row" with no pre-claim occupancy gather (3 engine passes
+# per insert round instead of 4; the insert rounds are the largest single
+# event block of the encode profile). Keys that find the cell owned by
+# another tag are dropped for the rest of the batch. All rules are
+# branch-free vector ops replayed identically by encoder and decoder.
+
+LOCAL_TAG_MASK = jnp.uint32((1 << 27) - 1)
+
 
 def local_create(log2_cells: int):
     tags = jnp.zeros((1 << log2_cells,), jnp.uint32)
@@ -297,23 +304,29 @@ def local_create(log2_cells: int):
 
 
 def local_keys(lo: jax.Array, hi: jax.Array, log2_cells: int):
-    """(cell, tag) of (lo, hi) context keys."""
-    return kmers.hash_bucket(lo, hi, log2_cells), kmers.hash_tag(lo, hi)
+    """(cell, tag27) of (lo, hi) context keys; tag27 has bit 26 forced so a
+    stored word is never 0 (= EMPTY sentinel)."""
+    t = kmers.hash_tag(lo, hi)
+    return (kmers.hash_bucket(lo, hi, log2_cells),
+            (t & LOCAL_TAG_MASK) | jnp.uint32(1 << 26))
 
 
 def local_query(tags: jax.Array, cnts: jax.Array, cell, tag, valid):
     """[..., 4] int32 counts (zeros on miss or invalid)."""
-    hit = (tags[cell] == tag) & valid
+    hit = ((tags[cell] & LOCAL_TAG_MASK) == tag) & valid
     return jnp.where(hit[..., None], cnts[cell], 0)
 
 
-def local_insert(tags: jax.Array, cnts: jax.Array, cell, tag, base, valid):
-    """Insert (context -> base) events; cell/tag/base/valid: [n] flat."""
+def local_insert(tags: jax.Array, cnts: jax.Array, cell, tag, base, valid,
+                 row=0):
+    """Insert (context -> base) events; cell/tag/base/valid: [n] flat,
+    row: the read-row index these events belong to (claim priority)."""
     C = tags.shape[0]
-    cur = tags[cell]
-    want = valid & (cur == EMPTY)
-    tags = tags.at[jnp.where(want, cell, C)].max(tag, mode="drop")
-    ok = valid & (tags[cell] == tag)
+    row_inv = jnp.uint32(31) - jnp.minimum(
+        jnp.asarray(row).astype(jnp.uint32), jnp.uint32(31))
+    stamped = (row_inv << 27) | tag
+    tags = tags.at[jnp.where(valid, cell, C)].max(stamped, mode="drop")
+    ok = valid & ((tags[cell] & LOCAL_TAG_MASK) == tag)
     cnts = cnts.at[jnp.where(ok, cell, C), base].add(1, mode="drop")
     return tags, cnts
 
@@ -429,9 +442,10 @@ class LocalBackend:
     def table_find(self, tags, cnts, lo, hi, log2_base=-1):
         return table_find(tags, cnts, lo, hi, log2_base)
 
-    def table_update(self, tags, cnts, lo, hi, base, valid, log2_base=-1):
+    def table_update(self, tags, cnts, lo, hi, base, valid, log2_base=-1,
+                     rounds=2):
         return table_update(tags, cnts, lo, hi, base, valid,
-                            log2_base=log2_base)
+                            log2_base=log2_base, rounds=rounds)
 
 
 LOCAL = LocalBackend()

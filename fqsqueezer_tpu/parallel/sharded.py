@@ -93,11 +93,12 @@ class TpBackend:
         return c4, found
 
     def table_update(self, tags_local, cnts_local, lo, hi, base, valid,
-                     log2_base=-1):
+                     log2_base=-1, rounds=2):
         idx, own = self._local_bucket(tags_local, lo, hi)
         tag = kmers.hash_tag(lo, hi)
         return tables.table_update(tags_local, cnts_local, lo, hi, base,
-                                   valid & own, bkt=idx, tag=tag)
+                                   valid & own, bkt=idx, tag=tag,
+                                   rounds=rounds)
 
 
 def state_specs(qual: bool, with_ids: bool = False, with_mix: bool = False):
@@ -247,16 +248,6 @@ def make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
         q_out = coded[2] if qcfg is not None else zero
         i_out = (coded[2 + (qcfg is not None)] if icfg is not None else zero)
         return m_out, i_out, d_out, q_out, new_state
-
-    sspec = state_specs(qcfg is not None, icfg is not None, dcfg.mix_w > 0)
-    batch = P("dp")
-    out_stream = (P("dp"), P("dp"), P("dp"))
-    fn = jax.shard_map(
-        step, mesh=mesh,
-        in_specs=(sspec, batch, batch, batch, batch, batch),
-        out_specs=(out_stream, out_stream, out_stream, out_stream, sspec),
-        check_vma=False)
-    return jax.jit(fn)
 
     sspec = state_specs(qcfg is not None, icfg is not None, dcfg.mix_w > 0)
     batch = P("dp")

@@ -122,6 +122,12 @@ class Params:
     # with the absolute-position bucket) — kept off; the knob stays for
     # real-data re-evaluation.
     dna_sorted_ctx: int = 0
+    # throughput/ratio knobs (decode-affecting, stored in the header):
+    # greedy repair iterations; global-table claim rounds per update;
+    # whether local tables also ingest the reverse-complement strand
+    dna_repair_iters: int = 3
+    dna_claim_rounds: int = 2
+    dna_local_rc: int = 1
 
     def adjust_kmer_sizes(self) -> None:
         """Auto-pick k-mer lengths from genome size (parity: params.h:131-155)."""
@@ -155,13 +161,15 @@ class Params:
         "smer_log2_buckets", "bmer_log2_buckets", "pe_log2_buckets",
         "local_log2_cells", "local_model_inc",
         "dna_mix_w", "dna_mix_b", "dna_sorted_ctx",
+        "dna_repair_iters", "dna_claim_rounds", "dna_local_rc",
     )
 
     # decode-affecting params whose absence in an archive header means the
     # writer predates the feature (NOT "use the current default")
     _HDR_LEGACY = {"local_log2_cells": 0, "local_model_inc": 8,
                    "id_codec_v": 1, "dna_mix_w": 0, "dna_mix_b": 64,
-                   "dna_sorted_ctx": 0}
+                   "dna_sorted_ctx": 0, "dna_repair_iters": 3,
+                   "dna_claim_rounds": 2, "dna_local_rc": 1}
 
     def store_params(self) -> bytes:
         d = {}

@@ -47,6 +47,9 @@ def make_configs(p: Params):
         local_log2_cells=p.local_log2_cells,
         local_model_inc=p.local_model_inc,
         mix_w=p.dna_mix_w, mix_b=p.dna_mix_b,
+        repair_iters=p.dna_repair_iters,
+        claim_rounds=p.dna_claim_rounds,
+        local_rc=p.dna_local_rc > 0,
         sorted_ctx=(p.dna_sorted_ctx > 0
                     and p.dna_mode in (DnaMode.SE_SORTED, DnaMode.PE_SORTED)),
         # anchor machinery on the single-chip PE path only (the mesh path

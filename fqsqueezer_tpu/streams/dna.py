@@ -30,6 +30,7 @@ coded as rank/letters symbol 4.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -82,6 +83,13 @@ def _coarse_ctx(ctx_all):
 MAX_REPAIRS = 3
 REPAIR_MIN_COUNT = 2
 
+# Decode inner-scan unroll: every scan step is tiny ([n_lanes] vectors = a
+# handful of VREGs), so the XLA while-loop's fixed per-iteration cost (loop
+# bookkeeping, fusion boundaries around the table gathers) is a real tax on
+# L*r_pl thin steps. Unrolling U positions per iteration is bit-identical —
+# the same op sequence with fewer loop trips — at U x body compile size.
+DECODE_UNROLL = int(os.environ.get("FQTZ_DECODE_UNROLL", "2"))
+
 
 @dataclasses.dataclass(frozen=True)
 class DnaConfig:
@@ -109,6 +117,14 @@ class DnaConfig:
     mix_b: int = 64
     # sorted-mode LCP-distance position bucket (_pos_bucket_sorted)
     sorted_ctx: bool = False
+    # greedy repair iterations (encoder) == per-read repair budget (decoder);
+    # each encoder iteration is one full s+b window pass over the batch
+    repair_iters: int = MAX_REPAIRS
+    # deterministic claim rounds per global-table update (tables.table_update)
+    claim_rounds: int = 2
+    # insert the reverse-complement strand into the in-batch local tables
+    # (the global tables always take both strands)
+    local_rc: bool = True
 
 
 class DnaState(NamedTuple):
@@ -295,14 +311,20 @@ def _repair_trigger(counts, level, base):
     return trig, best
 
 
-def _window_parts(cfg, state, kcodes, lengths, be=tables.LOCAL):
+def _window_parts(cfg, state, kcodes, lengths, be=tables.LOCAL,
+                  with_siv: bool = True):
     """Pack all three window widths over kcodes and run the GLOBAL cascade
-    finds. Returns ((cp, cs, cb, fp, fs, fb), active) — all [R, L(,4)]."""
+    finds. Returns ((cp, cs, cb, fp, fs, fb), active) — all [R, L(,4)].
+
+    with_siv=False skips the SIV gather (cp=0, fp=False): the repair pass
+    uses it — repair triggers require level >= LEVEL_SMER (see
+    _repair_trigger), and the cascade gives s/b-level positions counts that
+    never include SIV, so trig/best (and therefore eff and the archive) are
+    bit-identical while one gather per position per iteration disappears."""
     R, L = kcodes.shape
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     active = pos < lengths[:, None]
 
-    pm = kmers.shift_right(kmers.pack_windows(kcodes, cfg.siv_len - 1)[0], 1)
     s_lo, s_hi = kmers.pack_windows(kcodes, cfg.smer_len - 1)
     s_lo, s_hi = kmers.shift_right(s_lo, 1), kmers.shift_right(s_hi, 1)
     b_lo, b_hi = kmers.pack_windows(kcodes, cfg.bmer_len - 1)
@@ -311,17 +333,29 @@ def _window_parts(cfg, state, kcodes, lengths, be=tables.LOCAL):
     vp = pos >= cfg.siv_len - 1
     vs = pos >= cfg.smer_len - 1
     vb = pos >= cfg.bmer_len - 1
-    parts = _cascade_parts(
-        state, (pm & jnp.uint32(4 ** (cfg.siv_len - 1) - 1)).astype(jnp.int32),
-        s_lo, s_hi, b_lo, b_hi, vp, vs, vb, be,
-        cfg.smer_log2_buckets, cfg.bmer_log2_buckets)
+    if with_siv:
+        pm = kmers.shift_right(
+            kmers.pack_windows(kcodes, cfg.siv_len - 1)[0], 1)
+        pm = (pm & jnp.uint32(4 ** (cfg.siv_len - 1) - 1)).astype(jnp.int32)
+        parts = _cascade_parts(
+            state, pm, s_lo, s_hi, b_lo, b_hi, vp, vs, vb, be,
+            cfg.smer_log2_buckets, cfg.bmer_log2_buckets)
+    else:
+        cs, fs = be.table_find(state.s_tags, state.s_cnts, s_lo, s_hi,
+                               cfg.smer_log2_buckets)
+        cb, fb = be.table_find(state.b_tags, state.b_cnts, b_lo, b_hi,
+                               cfg.bmer_log2_buckets)
+        cp = jnp.zeros_like(cs)
+        fp = jnp.zeros_like(vp & active)
+        parts = (cp, cs, cb, fp, fs & vs, fb & vb)
     return parts, active
 
 
-def _window_lookup(cfg, state, kcodes, lengths, be=tables.LOCAL):
+def _window_lookup(cfg, state, kcodes, lengths, be=tables.LOCAL,
+                   with_siv: bool = True):
     """Global-only cascade over a whole batch.
     Returns (counts [R, L, 4], level [R, L], active)."""
-    parts, active = _window_parts(cfg, state, kcodes, lengths, be)
+    parts, active = _window_parts(cfg, state, kcodes, lengths, be, with_siv)
     counts, level = _cascade_combine(*parts)
     return counts, level, active
 
@@ -354,7 +388,7 @@ def _row_query_keys(cfg, eff_row, len_row, k):
 
 
 def local_row_update(cfg, ls, lb, lm, eff_row, ctx_row, sym_row, act_row,
-                     len_row):
+                     len_row, row=0):
     """Apply one read row's events to the in-batch local state — shared
     VERBATIM by encoder (dna_modeling row scan) and decoder (row boundary in
     dna_decode_batch), so both sides' local statistics are bit-identical.
@@ -372,16 +406,19 @@ def local_row_update(cfg, ls, lb, lm, eff_row, ctx_row, sym_row, act_row,
         lo, hi = kmers.pack_windows(eff_row, w)
         lo, hi = kmers.shift_right(lo, 1), kmers.shift_right(hi, 1)
         cf, tf = tables.local_keys(lo, hi, m)
-        rlo, rhi = kmers.pack_windows_rc(eff_row, w)
-        cr, tr = tables.local_keys(rlo, rhi, m)
-        br = 3 - kmers.shift_right(eff_row, k - 1)
         v = ((pos >= k - 1) & in_len).reshape(-1)
-        return tables.local_insert(
-            tbl[0], tbl[1],
-            jnp.concatenate([cf.reshape(-1), cr.reshape(-1)]),
-            jnp.concatenate([tf.reshape(-1), tr.reshape(-1)]),
-            jnp.concatenate([eff_row.reshape(-1), br.reshape(-1)]),
-            jnp.concatenate([v, v]))
+        cells, tags_, bases, vs_ = (cf.reshape(-1), tf.reshape(-1),
+                                    eff_row.reshape(-1), v)
+        if cfg.local_rc:
+            rlo, rhi = kmers.pack_windows_rc(eff_row, w)
+            cr, tr = tables.local_keys(rlo, rhi, m)
+            br = 3 - kmers.shift_right(eff_row, k - 1)
+            cells = jnp.concatenate([cells, cr.reshape(-1)])
+            tags_ = jnp.concatenate([tags_, tr.reshape(-1)])
+            bases = jnp.concatenate([bases, br.reshape(-1)])
+            vs_ = jnp.concatenate([vs_, v])
+        return tables.local_insert(tbl[0], tbl[1], cells, tags_, bases, vs_,
+                                   row=row)
 
     ls = upd(ls, cfg.smer_len)
     lb = upd(lb, cfg.bmer_len)
@@ -422,7 +459,8 @@ def dna_effective_kcodes(cfg, state, codes, kcodes, lengths, be=tables.LOCAL):
 
     def body(_, carry):
         eff, frontier = carry
-        counts, level, active = _window_lookup(cfg, state, eff, lengths, be)
+        counts, level, active = _window_lookup(cfg, state, eff, lengths, be,
+                                               with_siv=False)
         trig, best = _repair_trigger(counts, level, codes)
         trig = trig & active & (pos_row > frontier[:, None])
         first = jnp.min(jnp.where(trig, pos_row, L), axis=1)  # [R]
@@ -434,11 +472,11 @@ def dna_effective_kcodes(cfg, state, codes, kcodes, lengths, be=tables.LOCAL):
         frontier = jnp.where(has, first, jnp.int32(L))
         return eff, frontier
 
-    # fori_loop: ONE compiled window pass instead of MAX_REPAIRS unrolled
+    # fori_loop: ONE compiled window pass instead of repair_iters unrolled
     # copies — same runtime (the loop is sequential either way), much
     # smaller HLO (compiles go through a remote service here)
     eff, _ = jax.lax.fori_loop(
-        0, MAX_REPAIRS, body, (kcodes, jnp.full((R,), -1, jnp.int32)))
+        0, cfg.repair_iters, body, (kcodes, jnp.full((R,), -1, jnp.int32)))
     return eff
 
 
@@ -515,11 +553,12 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
     rb = partial(common.to_row_blocks, n_lanes=N)
     len_rows = common.to_read_grid(lengths, N).T          # [r_pl, N]
     xs = (rb(codes), rb(kcodes), tuple(rb(p) for p in parts),
-          rb(code_active), rb(pb), rb(let_ctx), len_rows)
+          rb(code_active), rb(pb), rb(let_ctx), len_rows,
+          jnp.arange(R // N, dtype=jnp.int32))
 
     def row_step(carry, x):
         ls, lb, lm = carry
-        codes_r, eff_r, parts_r, cact_r, pb_r, let_r, len_r = x
+        codes_r, eff_r, parts_r, cact_r, pb_r, let_r, len_r, rd = x
         s_cell, s_tag, s_v = _row_query_keys(cfg, eff_r, len_r, cfg.smer_len)
         b_cell, b_tag, b_v = _row_query_keys(cfg, eff_r, len_r, cfg.bmer_len)
         cs_l = tables.local_query(ls[0], ls[1], s_cell, s_tag, s_v)
@@ -532,7 +571,7 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
         f = jnp.where(cact_r, f, 1 << cfg.scale_bits)
         c = jnp.where(cact_r, c, 0)
         ls, lb, lm = local_row_update(cfg, ls, lb, lm, eff_r, ctx_r, sym_r,
-                                      cact_r, len_r)
+                                      cact_r, len_r, row=rd)
         return (ls, lb, lm), (ctx_r, sym_r, f, c)
 
     _, (ctx_b, sym_b, f_b, c_b) = jax.lax.scan(
@@ -626,7 +665,7 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
         base = jnp.concatenate([kcodes.reshape(-1), rc_base.reshape(-1)])
         valid = jnp.concatenate([vk.reshape(-1), vk.reshape(-1)])
         return be.table_update(tags, cnts, lo, hi, base, valid,
-                               log2_base=log2b)
+                               log2_base=log2b, rounds=cfg.claim_rounds)
 
     s_tags, s_cnts = upd(state.s_tags, state.s_cnts, cfg.smer_len, cfg.smer_log2_buckets)
     b_tags, b_cnts = upd(state.b_tags, state.b_cnts, cfg.bmer_len, cfg.bmer_log2_buckets)
@@ -853,7 +892,7 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             # repair triggers on GLOBAL counts only (the encoder's
             # dna_effective_kcodes runs before any local statistics)
             trig, best = _repair_trigger(counts_g, level_g, base)
-            do_rep = trig & active & (rep_cnt < MAX_REPAIRS)
+            do_rep = trig & active & (rep_cnt < cfg.repair_iters)
             rep_cnt = rep_cnt + do_rep.astype(jnp.int32)
             kc = jnp.where(base >= 4, 0, base)
             kc = jnp.where(do_rep, best, kc).astype(jnp.uint32)
@@ -874,7 +913,8 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
         inner0 = (x, ptr, pkey, slo, shi, blo, bhi,
                   jnp.full((N,), LH_RESET, jnp.int32), zeros_i, zeros_i)
         (x, ptr, pkey, slo, shi, blo, bhi, _, _, _), ys = jax.lax.scan(
-            inner, inner0, jnp.arange(L, dtype=jnp.int32))
+            inner, inner0, jnp.arange(L, dtype=jnp.int32),
+            unroll=min(DECODE_UNROLL, L))
         base_r = ys[0].T                       # [L, N] -> [N, L]
         eff_r = ys[1].T
         ctx_r = ys[2].T
@@ -885,7 +925,7 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             if with_lcp:
                 act_r = act_r & (pos_row >= my_lcp[:, None])
             loc = local_row_update(cfg, loc[0], loc[1], loc[2], eff_r, ctx_r,
-                                   sym_r, act_r, length)
+                                   sym_r, act_r, length, row=rd)
         if with_lcp:
             prev_rows = (base_r,) + prev_rows[:-1]
 

@@ -207,8 +207,10 @@ def qual_decode_batch(cfg: QualConfig, model: jax.Array, lengths: jax.Array,
             return (x, ptr, hist), (sym, ctx)
 
         hist0 = jnp.full((N,), cfg.hist_mask, jnp.int32)
+        from .dna import DECODE_UNROLL
         (x, ptr, _), (sym_y, ctx_y) = jax.lax.scan(
-            inner, (x, ptr, hist0), jnp.arange(L, dtype=jnp.int32))
+            inner, (x, ptr, hist0), jnp.arange(L, dtype=jnp.int32),
+            unroll=min(DECODE_UNROLL, L))
         sym_r, ctx_r = sym_y.T, ctx_y.T            # [N, L]
         if cfg.with_local:
             act_r = pos_row < length[:, None]

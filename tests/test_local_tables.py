@@ -7,10 +7,13 @@ from fqsqueezer_tpu.ops import kmers, tables
 from fqsqueezer_tpu.streams import dna
 
 
+T0 = 1 << 26   # tags are 27-bit with bit 26 forced (tables.local_keys)
+
+
 def test_local_insert_query_basic():
     lt, lc = tables.local_create(8)
     cell = jnp.asarray([5, 5, 9], jnp.int32)
-    tag = jnp.asarray([0x80000001, 0x80000001, 0x80000002], jnp.uint32)
+    tag = jnp.asarray([T0 | 1, T0 | 1, T0 | 2], jnp.uint32)
     base = jnp.asarray([2, 2, 0], jnp.int32)
     valid = jnp.asarray([True, True, True])
     lt, lc = tables.local_insert(lt, lc, cell, tag, base, valid)
@@ -18,26 +21,35 @@ def test_local_insert_query_basic():
     np.testing.assert_array_equal(got[0], [0, 0, 2, 0])
     np.testing.assert_array_equal(got[2], [1, 0, 0, 0])
     # wrong tag on an owned cell: miss, and the insert is dropped
-    other = jnp.asarray([0x80000003], jnp.uint32)
+    other = jnp.asarray([T0 | 3], jnp.uint32)
     got2 = np.asarray(tables.local_query(
         lt, lc, jnp.asarray([5]), other, jnp.asarray([True])))
     np.testing.assert_array_equal(got2[0], [0, 0, 0, 0])
     lt2, lc2 = tables.local_insert(
-        lt, lc, jnp.asarray([5]), other, jnp.asarray([1]), jnp.asarray([True]))
+        lt, lc, jnp.asarray([5]), other, jnp.asarray([1]), jnp.asarray([True]),
+        row=1)
     np.testing.assert_array_equal(np.asarray(lt), np.asarray(lt2))
     np.testing.assert_array_equal(np.asarray(lc), np.asarray(lc2))
 
 
 def test_local_same_batch_claim_is_max_tag():
-    """Two different tags claiming one empty cell in the same call: the larger
-    tag wins deterministically; the loser inserts nothing."""
+    """Two different tags claiming one empty cell in the same row: the larger
+    tag wins deterministically; the loser inserts nothing. A later row can
+    never steal the cell (row priority is encoded in the stamp bits)."""
     lt, lc = tables.local_create(4)
     cell = jnp.asarray([3, 3], jnp.int32)
-    tag = jnp.asarray([0x80000009, 0x8000000F], jnp.uint32)
+    tag = jnp.asarray([T0 | 9, T0 | 15], jnp.uint32)
     base = jnp.asarray([1, 2], jnp.int32)
     lt, lc = tables.local_insert(lt, lc, cell, tag, base,
                                  jnp.asarray([True, True]))
-    assert int(np.asarray(lt)[3]) == 0x8000000F
+    assert int(np.asarray(lt)[3]) == (31 << 27) | T0 | 15
+    np.testing.assert_array_equal(np.asarray(lc)[3], [0, 0, 1, 0])
+    # row 2 tries a bigger tag: dropped (earliest-row-wins)
+    lt, lc = tables.local_insert(lt, lc, jnp.asarray([3], jnp.int32),
+                                 jnp.asarray([T0 | 99], jnp.uint32),
+                                 jnp.asarray([0], jnp.int32),
+                                 jnp.asarray([True]), row=2)
+    assert int(np.asarray(lt)[3]) == (31 << 27) | T0 | 15
     np.testing.assert_array_equal(np.asarray(lc)[3], [0, 0, 1, 0])
 
 
@@ -67,11 +79,11 @@ def test_local_row_update_matches_bruteforce():
     e = jnp.asarray(eff0)
     lo, hi = kmers.pack_windows(e, k - 1)
     lo = np.asarray(kmers.shift_right(lo, 1)); hi = np.asarray(kmers.shift_right(hi, 1))
-    cf = np.asarray(kmers.hash_bucket(jnp.asarray(lo), jnp.asarray(hi), m))
-    tf = np.asarray(kmers.hash_tag(jnp.asarray(lo), jnp.asarray(hi)))
+    cf, tf_j = tables.local_keys(jnp.asarray(lo), jnp.asarray(hi), m)
+    cf, tf = np.asarray(cf), np.asarray(tf_j)
     rlo, rhi = kmers.pack_windows_rc(e, k - 1)
-    cr = np.asarray(kmers.hash_bucket(rlo, rhi, m))
-    tr = np.asarray(kmers.hash_tag(rlo, rhi))
+    cr, tr_j = tables.local_keys(rlo, rhi, m)
+    cr, tr = np.asarray(cr), np.asarray(tr_j)
     events = []
     for n in range(N):
         for i in range(k - 1, int(len0[n])):
@@ -89,7 +101,7 @@ def test_local_row_update_matches_bruteforce():
 
     lt_np, lc_np = np.asarray(ls[0]), np.asarray(ls[1])
     for c, (t, cnt) in table.items():
-        assert lt_np[c] == t
+        assert lt_np[c] & int(tables.LOCAL_TAG_MASK) == t
         np.testing.assert_array_equal(lc_np[c], cnt)
     assert sum(cnt.sum() for _, cnt in table.values()) > 0
 
