@@ -26,10 +26,8 @@ from .streams import dna
 def state_to_arrays(state: CodecState) -> dict:
     out = {
         "dna_siv": np.asarray(state.dna.siv),
-        "dna_s_tags": np.asarray(state.dna.s_tags),
-        "dna_s_cnts": np.asarray(state.dna.s_cnts),
-        "dna_b_tags": np.asarray(state.dna.b_tags),
-        "dna_b_cnts": np.asarray(state.dna.b_cnts),
+        "dna_s_tc": np.asarray(state.dna.s_tc),
+        "dna_b_tc": np.asarray(state.dna.b_tc),
         "dna_model": np.asarray(state.dna.model),
         "meta": np.asarray(state.meta),
     }
@@ -46,10 +44,8 @@ def arrays_to_state(d: dict) -> CodecState:
     return CodecState(
         dna=dna.DnaState(
             siv=jnp.asarray(d["dna_siv"]),
-            s_tags=jnp.asarray(d["dna_s_tags"]),
-            s_cnts=jnp.asarray(d["dna_s_cnts"]),
-            b_tags=jnp.asarray(d["dna_b_tags"]),
-            b_cnts=jnp.asarray(d["dna_b_cnts"]),
+            s_tc=jnp.asarray(d["dna_s_tc"]),
+            b_tc=jnp.asarray(d["dna_b_tc"]),
             model=jnp.asarray(d["dna_model"]),
             cmodel=(jnp.asarray(d["dna_cmodel"])
                     if "dna_cmodel" in d else None)),

@@ -135,11 +135,15 @@ def siv_update(siv: jax.Array, keys: jax.Array, valid: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def table_create(log2_buckets: int):
-    """Packed u32 counts (4×u8 per cell): FIND is the hot path (4 window
-    passes × 2 tables per batch) and packed rows read 4× less HBM."""
-    tags = jnp.zeros((1 << log2_buckets, BUCKET), dtype=jnp.uint32)
-    cnts = jnp.zeros((1 << log2_buckets, BUCKET), dtype=jnp.uint32)
-    return tags, cnts
+    """One interleaved row per bucket: columns [0, BUCKET) are cell tags,
+    [BUCKET, 2*BUCKET) the cells' packed u32 counts (4×u8 per cell).
+
+    The TPU scatter/gather engine charges per ROW fetched (latency-bound,
+    ~independent of row width at these sizes — measured, see BASELINE.md),
+    so a find that needs (tags, counts) of a bucket costs ONE gather here
+    vs two in the split layout — and finds are the hot path (repair passes
+    + modeling + the decode scan, 2 tables each)."""
+    return jnp.zeros((1 << log2_buckets, 2 * BUCKET), dtype=jnp.uint32)
 
 
 def bucket_of(lo, hi, log2_buckets: int, log2_base: int):
@@ -158,47 +162,50 @@ def bucket_of(lo, hi, log2_buckets: int, log2_base: int):
     return b
 
 
-def table_grow(tags: jax.Array, cnts: jax.Array, log2_base: int):
+def table_grow(tc: jax.Array, log2_base: int):
     """Double the bucket count at a group boundary (the reference's
     coordinated restruct behind barriers, application.cpp:894-902): every
-    cell moves to bucket (old | growth_bit << old_log2), keeping its slot.
-    Deterministic — the decoder replays the same rule on the same state."""
-    n_buckets = tags.shape[0]
+    cell moves to bucket (old | growth_bit << old_log2), keeping its slot —
+    its tag and count columns move together. Deterministic — the decoder
+    replays the same rule on the same state."""
+    n_buckets = tc.shape[0]
+    W = 2 * BUCKET
     log2b = n_buckets.bit_length() - 1
+    tags = tc[:, :BUCKET]
     grow_bit = ((tags >> (23 + log2b - log2_base)) & 1).astype(jnp.int32)
     new_bkt = jnp.arange(n_buckets, dtype=jnp.int32)[:, None] \
         + grow_bit * n_buckets                              # [B, S]
     slot = jnp.broadcast_to(jnp.arange(BUCKET, dtype=jnp.int32)[None, :],
                             tags.shape)
-    flat = jnp.where(tags != EMPTY, new_bkt * BUCKET + slot,
-                     2 * n_buckets * BUCKET)
-    new_tags = jnp.zeros((2 * n_buckets * BUCKET,), jnp.uint32).at[
-        flat.reshape(-1)].set(tags.reshape(-1), mode="drop")
-    new_cnts = jnp.zeros((2 * n_buckets * BUCKET,), jnp.uint32).at[
-        flat.reshape(-1)].set(cnts.reshape(-1), mode="drop")
-    return (new_tags.reshape(2 * n_buckets, BUCKET),
-            new_cnts.reshape(2 * n_buckets, BUCKET))
+    flat_t = jnp.where(tags != EMPTY, new_bkt * W + slot, 2 * n_buckets * W)
+    flat_c = jnp.where(tags != EMPTY, new_bkt * W + BUCKET + slot,
+                       2 * n_buckets * W)
+    new = jnp.zeros((2 * n_buckets * W,), jnp.uint32)
+    new = new.at[flat_t.reshape(-1)].set(tags.reshape(-1), mode="drop")
+    new = new.at[flat_c.reshape(-1)].set(tc[:, BUCKET:].reshape(-1),
+                                         mode="drop")
+    return new.reshape(2 * n_buckets, W)
 
 
-def table_find(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
+def table_find(tc: jax.Array, lo: jax.Array, hi: jax.Array,
                log2_base: int = -1):
     """Query contexts. lo/hi: [...] uint32 key pair. log2_base: creation
     size for grown tables (-1 = never grown).
-    Returns ([..., 4] int32 counts, [...] bool found)."""
-    log2_buckets = tags.shape[0].bit_length() - 1
+    Returns ([..., 4] int32 counts, [...] bool found) — ONE row gather."""
+    log2_buckets = tc.shape[0].bit_length() - 1
     if log2_base < 0:
         log2_base = log2_buckets
     bkt = bucket_of(lo, hi, log2_buckets, log2_base)
     tag = kmers.hash_tag(lo, hi)
-    row_t = tags[bkt]            # [..., BUCKET]
-    row_c = cnts[bkt]
-    match = row_t == tag[..., None]
+    row = tc[bkt]                             # [..., 2*BUCKET]
+    match = row[..., :BUCKET] == tag[..., None]
     found = jnp.any(match, axis=-1)
-    word = jnp.sum(jnp.where(match, row_c, EMPTY), axis=-1).astype(jnp.uint32)
+    word = jnp.sum(jnp.where(match, row[..., BUCKET:], EMPTY),
+                   axis=-1).astype(jnp.uint32)
     return unpack_counts(word), found
 
 
-def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
+def table_update(tc: jax.Array, lo: jax.Array, hi: jax.Array,
                  base: jax.Array, valid: jax.Array, bkt=None, tag=None,
                  log2_base: int = -1, rounds: int = 2):
     """Batch-insert/increment (context -> next base) events.
@@ -233,7 +240,8 @@ def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
     recurrence, like the reference's dropped inserts (ht_kmer.h:420-438).
     """
     n = lo.shape[0]
-    n_buckets = tags.shape[0]
+    n_buckets = tc.shape[0]
+    W = 2 * BUCKET
     if bkt is None:
         log2_buckets = n_buckets.bit_length() - 1
         bkt = bucket_of(lo, hi, log2_buckets,
@@ -244,8 +252,8 @@ def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
 
     weights = (jnp.int32(1) << jnp.arange(BUCKET, dtype=jnp.int32))[None, :]
 
-    def claim_round(r, tags):
-        row_t = tags[bkt]                           # [n, BUCKET]
+    def claim_round(r, tc):
+        row_t = tc[bkt][:, :BUCKET]                 # [n, BUCKET]
         found = jnp.any(row_t == tag[:, None], axis=1) & valid
         bm = jnp.sum(jnp.where(row_t == EMPTY, weights, 0), axis=1)  # u8 mask
         want = valid & ~found & (bm > 0)
@@ -254,22 +262,26 @@ def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
         j = (tag >> (13 + 3 * r)).astype(jnp.int32) & (BUCKET - 1)
         rot = ((bm >> j) | (bm << (BUCKET - j))) & ((1 << BUCKET) - 1)
         slot = (j + _ctz(rot)) & (BUCKET - 1)
-        flat_claim = jnp.where(want, bkt * BUCKET + slot, n_buckets * BUCKET)
-        return tags.reshape(-1).at[flat_claim].max(tag, mode="drop").reshape(
-            n_buckets, BUCKET)
+        flat_claim = jnp.where(want, bkt * W + slot, n_buckets * W)
+        return tc.reshape(-1).at[flat_claim].max(tag, mode="drop").reshape(
+            n_buckets, W)
 
-    tags = jax.lax.fori_loop(0, rounds, claim_round, tags)
+    tc = jax.lax.fori_loop(0, rounds, claim_round, tc)
 
     # re-probe (winners and their duplicates now match); u8-packed delta +
-    # one SWAR saturating sweep (see siv_update)
-    row_t2 = tags[bkt]
+    # one SWAR saturating sweep (see siv_update). The delta plane covers the
+    # count cells only and is interleaved to row shape afterwards (adding 0
+    # to the tag columns is an exact SWAR no-op).
+    row_t2 = tc[bkt][:, :BUCKET]
     match2 = row_t2 == tag[:, None]
     found2 = jnp.any(match2, axis=1) & valid
     cell2 = jnp.argmax(match2, axis=1)
     flat = bkt * BUCKET + cell2
     delta = _scatter_delta_u8(n_buckets * BUCKET, flat, base, found2)
-    cnts = swar_sat_add_u8(cnts, delta.reshape(n_buckets, BUCKET))
-    return tags, cnts
+    delta16 = jnp.concatenate(
+        [jnp.zeros((n_buckets, BUCKET), jnp.uint32),
+         delta.reshape(n_buckets, BUCKET)], axis=1)
+    return swar_sat_add_u8(tc, delta16)
 
 
 # ---------------------------------------------------------------------------
@@ -295,12 +307,13 @@ def table_update(tags: jax.Array, cnts: jax.Array, lo: jax.Array, hi: jax.Array,
 # branch-free vector ops replayed identically by encoder and decoder.
 
 LOCAL_TAG_MASK = jnp.uint32((1 << 27) - 1)
+LOCAL_W = 5   # row: [stamped tag, count A, C, G, T]
 
 
 def local_create(log2_cells: int):
-    tags = jnp.zeros((1 << log2_cells,), jnp.uint32)
-    cnts = jnp.zeros((1 << log2_cells, 4), jnp.int32)
-    return tags, cnts
+    """One [LOCAL_W] row per cell — the query (tag check + 4 counts) is ONE
+    row gather (the engine charges per row; see table_create)."""
+    return jnp.zeros((1 << log2_cells, LOCAL_W), jnp.uint32)
 
 
 def local_keys(lo: jax.Array, hi: jax.Array, log2_cells: int):
@@ -311,24 +324,29 @@ def local_keys(lo: jax.Array, hi: jax.Array, log2_cells: int):
             (t & LOCAL_TAG_MASK) | jnp.uint32(1 << 26))
 
 
-def local_query(tags: jax.Array, cnts: jax.Array, cell, tag, valid):
+def local_query(tc: jax.Array, cell, tag, valid):
     """[..., 4] int32 counts (zeros on miss or invalid)."""
-    hit = ((tags[cell] & LOCAL_TAG_MASK) == tag) & valid
-    return jnp.where(hit[..., None], cnts[cell], 0)
+    row = tc[cell]                                     # [..., LOCAL_W]
+    hit = ((row[..., 0] & LOCAL_TAG_MASK) == tag) & valid
+    return jnp.where(hit[..., None], row[..., 1:].astype(jnp.int32), 0)
 
 
-def local_insert(tags: jax.Array, cnts: jax.Array, cell, tag, base, valid,
-                 row=0):
+def local_insert(tc: jax.Array, cell, tag, base, valid, row=0):
     """Insert (context -> base) events; cell/tag/base/valid: [n] flat,
-    row: the read-row index these events belong to (claim priority)."""
-    C = tags.shape[0]
+    row: the read-row index these events belong to (claim priority).
+    Three engine passes: claim scatter-max, ownership gather, count add."""
+    C = tc.shape[0]
+    flat = tc.reshape(-1)
     row_inv = jnp.uint32(31) - jnp.minimum(
         jnp.asarray(row).astype(jnp.uint32), jnp.uint32(31))
     stamped = (row_inv << 27) | tag
-    tags = tags.at[jnp.where(valid, cell, C)].max(stamped, mode="drop")
-    ok = valid & ((tags[cell] & LOCAL_TAG_MASK) == tag)
-    cnts = cnts.at[jnp.where(ok, cell, C), base].add(1, mode="drop")
-    return tags, cnts
+    tag_idx = cell * LOCAL_W
+    flat = flat.at[jnp.where(valid, tag_idx, C * LOCAL_W)].max(
+        stamped, mode="drop")
+    ok = valid & ((flat[tag_idx] & LOCAL_TAG_MASK) == tag)
+    cnt_idx = tag_idx + 1 + base
+    flat = flat.at[jnp.where(ok, cnt_idx, C * LOCAL_W)].add(1, mode="drop")
+    return flat.reshape(C, LOCAL_W)
 
 
 # ---------------------------------------------------------------------------
@@ -421,10 +439,10 @@ def pair_update(pt, klo, khi, vlo_n, vhi_n, w, valid):
     return tags, vlo, vhi, cnt
 
 
-def table_fill_stats(tags: jax.Array):
+def table_fill_stats(tc: jax.Array):
     """Occupancy diagnostics (reference filling-factor stats, bit_vec.h:204-230)."""
-    used = jnp.sum((tags != EMPTY).astype(jnp.int32))
-    return used, tags.shape[0] * BUCKET
+    used = jnp.sum((tc[:, :BUCKET] != EMPTY).astype(jnp.int32))
+    return used, tc.shape[0] * BUCKET
 
 
 class LocalBackend:
@@ -439,12 +457,12 @@ class LocalBackend:
     def siv_update(self, siv, keys, valid):
         return siv_update(siv, keys, valid)
 
-    def table_find(self, tags, cnts, lo, hi, log2_base=-1):
-        return table_find(tags, cnts, lo, hi, log2_base)
+    def table_find(self, tc, lo, hi, log2_base=-1):
+        return table_find(tc, lo, hi, log2_base)
 
-    def table_update(self, tags, cnts, lo, hi, base, valid, log2_base=-1,
+    def table_update(self, tc, lo, hi, base, valid, log2_base=-1,
                      rounds=2):
-        return table_update(tags, cnts, lo, hi, base, valid,
+        return table_update(tc, lo, hi, base, valid,
                             log2_base=log2_base, rounds=rounds)
 
 

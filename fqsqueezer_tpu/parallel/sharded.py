@@ -69,8 +69,8 @@ class TpBackend:
         return tables.siv_update(siv_local, local_keys, own)
 
     # --- hash tables: sharded by bucket range ------------------------------
-    def _local_bucket(self, tags_local, lo, hi):
-        local_buckets = tags_local.shape[0]
+    def _local_bucket(self, tc_local, lo, hi):
+        local_buckets = tc_local.shape[0]
         log2_global = (local_buckets * self.n_tp).bit_length() - 1
         bkt = kmers.hash_bucket(lo, hi, log2_global)
         my = jax.lax.axis_index(self.axis)
@@ -78,25 +78,25 @@ class TpBackend:
         own = (local >= 0) & (local < local_buckets)
         return jnp.clip(local, 0, local_buckets - 1), own
 
-    def table_find(self, tags_local, cnts_local, lo, hi,
+    def table_find(self, tc_local, lo, hi,
                    log2_base=-1):  # mesh tables are presized, never grown
-        idx, own = self._local_bucket(tags_local, lo, hi)
+        idx, own = self._local_bucket(tc_local, lo, hi)
         tag = kmers.hash_tag(lo, hi)
-        row_t = tags_local[idx]
-        row_c = cnts_local[idx]
-        match = (row_t == tag[..., None]) & own[..., None]
+        row = tc_local[idx]
+        B = tables.BUCKET
+        match = (row[..., :B] == tag[..., None]) & own[..., None]
         found = jnp.any(match, axis=-1)
-        word = jnp.sum(jnp.where(match, row_c, tables.EMPTY), axis=-1)
+        word = jnp.sum(jnp.where(match, row[..., B:], tables.EMPTY), axis=-1)
         c4 = tables.unpack_counts(word.astype(jnp.uint32))
         c4 = jax.lax.psum(c4, self.axis)
         found = jax.lax.psum(found.astype(jnp.int32), self.axis) > 0
         return c4, found
 
-    def table_update(self, tags_local, cnts_local, lo, hi, base, valid,
+    def table_update(self, tc_local, lo, hi, base, valid,
                      log2_base=-1, rounds=2):
-        idx, own = self._local_bucket(tags_local, lo, hi)
+        idx, own = self._local_bucket(tc_local, lo, hi)
         tag = kmers.hash_tag(lo, hi)
-        return tables.table_update(tags_local, cnts_local, lo, hi, base,
+        return tables.table_update(tc_local, lo, hi, base,
                                    valid & own, bkt=idx, tag=tag,
                                    rounds=rounds)
 
@@ -106,8 +106,7 @@ def state_specs(qual: bool, with_ids: bool = False, with_mix: bool = False):
     from ..pipeline import CodecState
 
     dna_spec = dna.DnaState(
-        siv=P("tp"), s_tags=P("tp"), s_cnts=P("tp"),
-        b_tags=P("tp"), b_cnts=P("tp"), model=P(),
+        siv=P("tp"), s_tc=P("tp"), b_tc=P("tp"), model=P(),
         cmodel=P() if with_mix else None)
     return CodecState(dna=dna_spec, meta=P(), qual=P() if qual else None,
                       id=P() if with_ids else None)

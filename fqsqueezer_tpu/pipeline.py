@@ -308,19 +308,17 @@ def grow_tables(dcfg, dna_state, verbosity: int = 0):
     new = dna_state
     for pre, base in (("s", dcfg.smer_log2_buckets),
                       ("b", dcfg.bmer_log2_buckets)):
-        tags = getattr(new, pre + "_tags")
-        cnts = getattr(new, pre + "_cnts")
-        cur = tags.shape[0].bit_length() - 1
+        tc = getattr(new, pre + "_tc")
+        cur = tc.shape[0].bit_length() - 1
         if cur - base >= GROW_MAX_DOUBLINGS and verbosity < 2:
             continue     # maxed out: skip the blocking fill-factor pull
-        used, cap = _t.table_fill_stats(tags)
+        used, cap = _t.table_fill_stats(tc)
         used = int(used)
         if verbosity >= 2:
             print(f"  {pre}mer fill: {used}/{cap} ({used / cap:.3f})"
                   f" [2^{cur} buckets]")
         if cur - base < GROW_MAX_DOUBLINGS and used * GROW_DEN > cap * GROW_NUM:
-            t2, c2 = _t.table_grow(tags, cnts, base)
-            new = new._replace(**{pre + "_tags": t2, pre + "_cnts": c2})
+            new = new._replace(**{pre + "_tc": _t.table_grow(tc, base)})
             if verbosity >= 1:
                 print(f"  {pre}mer table grown to 2^{cur + 1} buckets "
                       f"(fill {used / cap:.2f})")

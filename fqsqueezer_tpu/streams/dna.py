@@ -129,10 +129,8 @@ class DnaConfig:
 
 class DnaState(NamedTuple):
     siv: jax.Array
-    s_tags: jax.Array
-    s_cnts: jax.Array
-    b_tags: jax.Array
-    b_cnts: jax.Array
+    s_tc: jax.Array   # interleaved (tags | packed counts) rows, tables.py
+    b_tc: jax.Array
     model: jax.Array  # [N_MODEL_CTX, A_SYM]
     # PE anchor state: (pair tags, vlo, vhi, cnt, pe stream model) or None
     pe: tuple | None = None
@@ -141,8 +139,6 @@ class DnaState(NamedTuple):
 
 
 def dna_state_create(cfg: DnaConfig) -> DnaState:
-    s_tags, s_cnts = tables.table_create(cfg.smer_log2_buckets)
-    b_tags, b_cnts = tables.table_create(cfg.bmer_log2_buckets)
     pe_state = None
     if cfg.pe_log2_buckets > 0:
         from . import pe as _pe
@@ -151,7 +147,8 @@ def dna_state_create(cfg: DnaConfig) -> DnaState:
             models.model_create(_pe.PE_N_CTX, _pe.PE_N_SYM),)
     return DnaState(
         siv=tables.siv_create(cfg.siv_len),
-        s_tags=s_tags, s_cnts=s_cnts, b_tags=b_tags, b_cnts=b_cnts,
+        s_tc=tables.table_create(cfg.smer_log2_buckets),
+        b_tc=tables.table_create(cfg.bmer_log2_buckets),
         model=models.model_create(N_MODEL_CTX, A_SYM),
         pe=pe_state,
         cmodel=(models.model_create(N_COARSE_CTX, A_SYM)
@@ -204,8 +201,8 @@ def _cascade_parts(state: DnaState, pm_ctx, s_lo, s_hi, b_lo, b_hi, vp, vs, vb,
     dna.cpp:457-502). Returns (cp, cs, cb [..., 4] int32, fp, fs, fb bool).
     s_log2b/b_log2b: CREATION bucket sizes (tables may have grown since)."""
     cp = be.siv_find(state.siv, pm_ctx)
-    cs, fs = be.table_find(state.s_tags, state.s_cnts, s_lo, s_hi, s_log2b)
-    cb, fb = be.table_find(state.b_tags, state.b_cnts, b_lo, b_hi, b_log2b)
+    cs, fs = be.table_find(state.s_tc, s_lo, s_hi, s_log2b)
+    cb, fb = be.table_find(state.b_tc, b_lo, b_hi, b_log2b)
     fp = vp & (jnp.sum(cp, axis=-1) > 0)
     return cp, cs, cb, fp, fs & vs, fb & vb
 
@@ -341,10 +338,8 @@ def _window_parts(cfg, state, kcodes, lengths, be=tables.LOCAL,
             state, pm, s_lo, s_hi, b_lo, b_hi, vp, vs, vb, be,
             cfg.smer_log2_buckets, cfg.bmer_log2_buckets)
     else:
-        cs, fs = be.table_find(state.s_tags, state.s_cnts, s_lo, s_hi,
-                               cfg.smer_log2_buckets)
-        cb, fb = be.table_find(state.b_tags, state.b_cnts, b_lo, b_hi,
-                               cfg.bmer_log2_buckets)
+        cs, fs = be.table_find(state.s_tc, s_lo, s_hi, cfg.smer_log2_buckets)
+        cb, fb = be.table_find(state.b_tc, b_lo, b_hi, cfg.bmer_log2_buckets)
         cp = jnp.zeros_like(cs)
         fp = jnp.zeros_like(vp & active)
         parts = (cp, cs, cb, fp, fs & vs, fb & vb)
@@ -417,8 +412,7 @@ def local_row_update(cfg, ls, lb, lm, eff_row, ctx_row, sym_row, act_row,
             tags_ = jnp.concatenate([tags_, tr.reshape(-1)])
             bases = jnp.concatenate([bases, br.reshape(-1)])
             vs_ = jnp.concatenate([vs_, v])
-        return tables.local_insert(tbl[0], tbl[1], cells, tags_, bases, vs_,
-                                   row=row)
+        return tables.local_insert(tbl, cells, tags_, bases, vs_, row=row)
 
     ls = upd(ls, cfg.smer_len)
     lb = upd(lb, cfg.bmer_len)
@@ -561,8 +555,8 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
         codes_r, eff_r, parts_r, cact_r, pb_r, let_r, len_r, rd = x
         s_cell, s_tag, s_v = _row_query_keys(cfg, eff_r, len_r, cfg.smer_len)
         b_cell, b_tag, b_v = _row_query_keys(cfg, eff_r, len_r, cfg.bmer_len)
-        cs_l = tables.local_query(ls[0], ls[1], s_cell, s_tag, s_v)
-        cb_l = tables.local_query(lb[0], lb[1], b_cell, b_tag, b_v)
+        cs_l = tables.local_query(ls, s_cell, s_tag, s_v)
+        cb_l = tables.local_query(lb, b_cell, b_tag, b_v)
         counts, level = _cascade_combine(*_merge_local(parts_r, cs_l, cb_l))
         ctx_r, sym_r = _ctx_sym_from_counts(
             cfg, counts, level, codes_r, cact_r, pb_r, let_r, pos)
@@ -653,7 +647,7 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
         jnp.concatenate([siv_f.reshape(-1), siv_r.reshape(-1)]),
         jnp.concatenate([v_siv.reshape(-1), v_siv.reshape(-1)]))
 
-    def upd(tags, cnts, k, log2b):
+    def upd(tc, k, log2b):
         ctx_lo, ctx_hi = kmers.pack_windows(kcodes, k - 1)
         ctx_lo = kmers.shift_right(ctx_lo, 1)
         ctx_hi = kmers.shift_right(ctx_hi, 1)
@@ -664,11 +658,11 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
         hi = jnp.concatenate([ctx_hi.reshape(-1), rc_hi.reshape(-1)])
         base = jnp.concatenate([kcodes.reshape(-1), rc_base.reshape(-1)])
         valid = jnp.concatenate([vk.reshape(-1), vk.reshape(-1)])
-        return be.table_update(tags, cnts, lo, hi, base, valid,
+        return be.table_update(tc, lo, hi, base, valid,
                                log2_base=log2b, rounds=cfg.claim_rounds)
 
-    s_tags, s_cnts = upd(state.s_tags, state.s_cnts, cfg.smer_len, cfg.smer_log2_buckets)
-    b_tags, b_cnts = upd(state.b_tags, state.b_cnts, cfg.bmer_len, cfg.bmer_log2_buckets)
+    s_tc = upd(state.s_tc, cfg.smer_len, cfg.smer_log2_buckets)
+    b_tc = upd(state.b_tc, cfg.bmer_len, cfg.bmer_log2_buckets)
 
     pe_state = state.pe
     if cfg.pe_log2_buckets > 0:
@@ -691,8 +685,7 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
                 pe_act.reshape(-1))
         pe_state = pair + (pe_model,)
 
-    return DnaState(siv=siv, s_tags=s_tags, s_cnts=s_cnts,
-                    b_tags=b_tags, b_cnts=b_cnts, model=model, pe=pe_state,
+    return DnaState(siv=siv, s_tc=s_tc, b_tc=b_tc, model=model, pe=pe_state,
                     cmodel=cmodel)
 
 
@@ -855,8 +848,8 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
                 ls, lb, lm = loc
                 s_cell, s_tag = tables.local_keys(s_ctx[0], s_ctx[1], m)
                 b_cell, b_tag = tables.local_keys(b_ctx[0], b_ctx[1], m)
-                cs_l = tables.local_query(ls[0], ls[1], s_cell, s_tag, vs)
-                cb_l = tables.local_query(lb[0], lb[1], b_cell, b_tag, vb)
+                cs_l = tables.local_query(ls, s_cell, s_tag, vs)
+                cb_l = tables.local_query(lb, b_cell, b_tag, vb)
                 counts, level = _cascade_combine(
                     *_merge_local(parts, cs_l, cb_l))
             else:

@@ -11,46 +11,45 @@ T0 = 1 << 26   # tags are 27-bit with bit 26 forced (tables.local_keys)
 
 
 def test_local_insert_query_basic():
-    lt, lc = tables.local_create(8)
+    lt = tables.local_create(8)
     cell = jnp.asarray([5, 5, 9], jnp.int32)
     tag = jnp.asarray([T0 | 1, T0 | 1, T0 | 2], jnp.uint32)
     base = jnp.asarray([2, 2, 0], jnp.int32)
     valid = jnp.asarray([True, True, True])
-    lt, lc = tables.local_insert(lt, lc, cell, tag, base, valid)
-    got = np.asarray(tables.local_query(lt, lc, cell, tag, valid))
+    lt = tables.local_insert(lt, cell, tag, base, valid)
+    got = np.asarray(tables.local_query(lt, cell, tag, valid))
     np.testing.assert_array_equal(got[0], [0, 0, 2, 0])
     np.testing.assert_array_equal(got[2], [1, 0, 0, 0])
     # wrong tag on an owned cell: miss, and the insert is dropped
     other = jnp.asarray([T0 | 3], jnp.uint32)
     got2 = np.asarray(tables.local_query(
-        lt, lc, jnp.asarray([5]), other, jnp.asarray([True])))
+        lt, jnp.asarray([5]), other, jnp.asarray([True])))
     np.testing.assert_array_equal(got2[0], [0, 0, 0, 0])
-    lt2, lc2 = tables.local_insert(
-        lt, lc, jnp.asarray([5]), other, jnp.asarray([1]), jnp.asarray([True]),
+    lt2 = tables.local_insert(
+        lt, jnp.asarray([5]), other, jnp.asarray([1]), jnp.asarray([True]),
         row=1)
     np.testing.assert_array_equal(np.asarray(lt), np.asarray(lt2))
-    np.testing.assert_array_equal(np.asarray(lc), np.asarray(lc2))
 
 
 def test_local_same_batch_claim_is_max_tag():
     """Two different tags claiming one empty cell in the same row: the larger
     tag wins deterministically; the loser inserts nothing. A later row can
     never steal the cell (row priority is encoded in the stamp bits)."""
-    lt, lc = tables.local_create(4)
+    lt = tables.local_create(4)
     cell = jnp.asarray([3, 3], jnp.int32)
     tag = jnp.asarray([T0 | 9, T0 | 15], jnp.uint32)
     base = jnp.asarray([1, 2], jnp.int32)
-    lt, lc = tables.local_insert(lt, lc, cell, tag, base,
-                                 jnp.asarray([True, True]))
-    assert int(np.asarray(lt)[3]) == (31 << 27) | T0 | 15
-    np.testing.assert_array_equal(np.asarray(lc)[3], [0, 0, 1, 0])
+    lt = tables.local_insert(lt, cell, tag, base,
+                             jnp.asarray([True, True]))
+    assert int(np.asarray(lt)[3, 0]) == (31 << 27) | T0 | 15
+    np.testing.assert_array_equal(np.asarray(lt)[3, 1:], [0, 0, 1, 0])
     # row 2 tries a bigger tag: dropped (earliest-row-wins)
-    lt, lc = tables.local_insert(lt, lc, jnp.asarray([3], jnp.int32),
-                                 jnp.asarray([T0 | 99], jnp.uint32),
-                                 jnp.asarray([0], jnp.int32),
-                                 jnp.asarray([True]), row=2)
-    assert int(np.asarray(lt)[3]) == (31 << 27) | T0 | 15
-    np.testing.assert_array_equal(np.asarray(lc)[3], [0, 0, 1, 0])
+    lt = tables.local_insert(lt, jnp.asarray([3], jnp.int32),
+                             jnp.asarray([T0 | 99], jnp.uint32),
+                             jnp.asarray([0], jnp.int32),
+                             jnp.asarray([True]), row=2)
+    assert int(np.asarray(lt)[3, 0]) == (31 << 27) | T0 | 15
+    np.testing.assert_array_equal(np.asarray(lt)[3, 1:], [0, 0, 1, 0])
 
 
 def test_local_row_update_matches_bruteforce():
@@ -99,16 +98,16 @@ def test_local_row_update_matches_bruteforce():
         if table[c][0] == t:
             table[c][1][b] += 1
 
-    lt_np, lc_np = np.asarray(ls[0]), np.asarray(ls[1])
+    ls_np = np.asarray(ls)
     for c, (t, cnt) in table.items():
-        assert lt_np[c] & int(tables.LOCAL_TAG_MASK) == t
-        np.testing.assert_array_equal(lc_np[c], cnt)
+        assert ls_np[c, 0] & int(tables.LOCAL_TAG_MASK) == t
+        np.testing.assert_array_equal(ls_np[c, 1:], cnt)
     assert sum(cnt.sum() for _, cnt in table.values()) > 0
 
     # a later row's queries see row 0's stats
     s_cell, s_tag, s_v = dna._row_query_keys(cfg, jnp.asarray(eff0),
                                              jnp.asarray(len0), k)
-    got = np.asarray(tables.local_query(ls[0], ls[1], s_cell, s_tag, s_v))
+    got = np.asarray(tables.local_query(ls, s_cell, s_tag, s_v))
     # query key at position i is the fwd ctx; expected counts from the oracle
     for n in range(N):
         for i in range(k - 1, int(len0[n])):

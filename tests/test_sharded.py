@@ -93,11 +93,9 @@ def test_sharded_matches_local_modeling():
     np.testing.assert_array_equal(
         np.asarray(new_l.dna.siv), np.asarray(new_s.dna.siv))
     np.testing.assert_array_equal(
-        np.asarray(new_l.dna.s_tags), np.asarray(new_s.dna.s_tags))
+        np.asarray(new_l.dna.s_tc), np.asarray(new_s.dna.s_tc))
     np.testing.assert_array_equal(
-        np.asarray(new_l.dna.s_cnts), np.asarray(new_s.dna.s_cnts))
-    np.testing.assert_array_equal(
-        np.asarray(new_l.dna.b_tags), np.asarray(new_s.dna.b_tags))
+        np.asarray(new_l.dna.b_tc), np.asarray(new_s.dna.b_tc))
     # identical total payload for the dp=2 split vs local (same lane count
     # per shard => same streams modulo shard boundaries); compare total words
     # of the meta stream whose modeling is shard-invariant

@@ -62,15 +62,15 @@ def test_siv_saturates_at_255():
 
 def test_count_table_insert_find_roundtrip():
     rng = np.random.default_rng(2)
-    tags, cnts = tables.table_create(8)  # 256 buckets
+    tc = tables.table_create(8)  # 256 buckets
     n = 500
     lo = rng.integers(0, 1 << 16, size=n).astype(np.uint32)
     hi = np.zeros(n, np.uint32)
     base = rng.integers(0, 4, size=n).astype(np.int32)
     valid = rng.random(n) < 0.9
 
-    tags, cnts = tables.table_update(
-        tags, cnts, jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(base), jnp.asarray(valid))
+    tc = tables.table_update(
+        tc, jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(base), jnp.asarray(valid))
 
     # python-dict truth
     truth = {}
@@ -79,7 +79,7 @@ def test_count_table_insert_find_roundtrip():
             truth.setdefault(int(lo[i]), [0, 0, 0, 0])[base[i]] += 1
 
     keys = np.array(sorted(truth), np.uint32)
-    got, found = tables.table_find(tags, cnts, jnp.asarray(keys), jnp.zeros_like(jnp.asarray(keys)))
+    got, found = tables.table_find(tc, jnp.asarray(keys), jnp.zeros_like(jnp.asarray(keys)))
     got, found = np.asarray(got), np.asarray(found)
     n_found = found.sum()
     assert n_found >= 0.99 * len(keys)  # rare drops allowed (full buckets)
@@ -89,9 +89,9 @@ def test_count_table_insert_find_roundtrip():
 
 
 def test_count_table_absent_key():
-    tags, cnts = tables.table_create(6)
+    tc = tables.table_create(6)
     got, found = tables.table_find(
-        tags, cnts, jnp.asarray([123456], jnp.uint32), jnp.asarray([7], jnp.uint32))
+        tc, jnp.asarray([123456], jnp.uint32), jnp.asarray([7], jnp.uint32))
     assert not bool(found[0])
     np.testing.assert_array_equal(np.asarray(got)[0], [0, 0, 0, 0])
 
@@ -106,15 +106,15 @@ def test_count_table_update_is_deterministic_across_orderings():
 
     perm = rng.permutation(n)
     t1 = tables.table_create(4)
-    t1 = tables.table_update(*t1, jnp.asarray(lo), jnp.asarray(hi),
+    t1 = tables.table_update(t1, jnp.asarray(lo), jnp.asarray(hi),
                              jnp.asarray(base), jnp.asarray(valid))
     t2 = tables.table_create(4)
-    t2 = tables.table_update(*t2, jnp.asarray(lo[perm]), jnp.asarray(hi[perm]),
+    t2 = tables.table_update(t2, jnp.asarray(lo[perm]), jnp.asarray(hi[perm]),
                              jnp.asarray(base[perm]), jnp.asarray(valid))
     # same multiset of events -> identical counts for every key
     keys = np.unique(lo)
-    g1, f1 = tables.table_find(*t1, jnp.asarray(keys), jnp.zeros(len(keys), jnp.uint32))
-    g2, f2 = tables.table_find(*t2, jnp.asarray(keys), jnp.zeros(len(keys), jnp.uint32))
+    g1, f1 = tables.table_find(t1, jnp.asarray(keys), jnp.zeros(len(keys), jnp.uint32))
+    g2, f2 = tables.table_find(t2, jnp.asarray(keys), jnp.zeros(len(keys), jnp.uint32))
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
 
@@ -145,29 +145,29 @@ def test_table_grow_preserves_contents_and_finds():
     hi = rng.integers(0, 1 << 20, size=n).astype(np.uint32)
     bse = rng.integers(0, 4, size=n).astype(np.int32)
     valid = np.ones(n, bool)
-    tags, cnts = tables.table_create(base_log2)
-    tags, cnts = tables.table_update(
-        tags, cnts, jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(bse),
+    tc = tables.table_create(base_log2)
+    tc = tables.table_update(
+        tc, jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(bse),
         jnp.asarray(valid))
     keys = np.unique(np.stack([lo, hi], 1), axis=0)
     klo, khi = jnp.asarray(keys[:, 0]), jnp.asarray(keys[:, 1])
-    c0, f0 = tables.table_find(tags, cnts, klo, khi)
-    used0, _ = tables.table_fill_stats(tags)
+    c0, f0 = tables.table_find(tc, klo, khi)
+    used0, _ = tables.table_fill_stats(tc)
 
     for g in range(2):  # two consecutive doublings
-        tags, cnts = tables.table_grow(tags, cnts, base_log2)
-        c1, f1 = tables.table_find(tags, cnts, klo, khi, base_log2)
+        tc = tables.table_grow(tc, base_log2)
+        c1, f1 = tables.table_find(tc, klo, khi, base_log2)
         np.testing.assert_array_equal(np.asarray(f1), np.asarray(f0))
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c0))
-        used1, cap1 = tables.table_fill_stats(tags)
+        used1, cap1 = tables.table_fill_stats(tc)
         assert int(used1) == int(used0)          # no cell lost or duplicated
         assert cap1 == (1 << (base_log2 + g + 1)) * tables.BUCKET
 
     # updates into the grown table hit the same cells table_find probes
-    tags, cnts = tables.table_update(
-        tags, cnts, klo, khi, jnp.zeros(len(keys), jnp.int32),
+    tc = tables.table_update(
+        tc, klo, khi, jnp.zeros(len(keys), jnp.int32),
         jnp.ones(len(keys), bool), log2_base=base_log2)
-    c2, f2 = tables.table_find(tags, cnts, klo, khi, base_log2)
+    c2, f2 = tables.table_find(tc, klo, khi, base_log2)
     # growth frees capacity: previously-dropped keys may now insert, so the
     # found set only ever widens
     assert np.all(np.asarray(f2) | ~np.asarray(f0))
