@@ -56,8 +56,10 @@ _KMER_TUNING = (
 
 # Dense SIV memory cap: the SIV is a dense uint8[4^siv_len] per-next-base
 # counter array, so siv_len is capped independently of pmer_len (the reference
-# packs 2-bit counters instead, bit_vec.h:29-40).
-_SIV_LEN_CAP = 13
+# packs 2-bit counters instead, bit_vec.h:29-40). 14 = 268 MB packed plane;
+# measured best ratio (see Params.dna_siv_cap). Decode-affecting: the
+# effective cap rides the archive header (dna_siv_cap, legacy 13).
+_SIV_LEN_CAP = 14
 
 
 @dataclasses.dataclass
@@ -128,6 +130,23 @@ class Params:
     dna_repair_iters: int = 3
     dna_claim_rounds: int = 2
     dna_local_rc: int = 1
+    # pmer-level position gate (streams/dna.py DnaConfig.pmer_gate): SIV
+    # evidence enters the cascade only at positions < gate; 0 = ungated.
+    # Measured a net LOSS on the standard corpus (see the DnaConfig
+    # comment) — kept for real-data re-evaluation, default off.
+    dna_pmer_gate: int = 0
+    # read-prefix partial-SIV ramp (streams/dna.py DnaConfig.prefix_ramp):
+    # positions [prefix_len, siv_len-2] take cascade counts from SIV range
+    # sums instead of coding pure letters. Single-chip paths only (the mesh
+    # shards the SIV); decode-affecting, in the header. Standard corpus:
+    # DNA 1,523,382 -> 1,512,324 (-0.7%).
+    dna_prefix_ramp: int = 1
+    # effective dense-SIV length cap (decode-affecting, in the header:
+    # older archives were written at 13). 14 measured best on the standard
+    # corpus (DNA bytes: cap 13 → 1,535,058; 14 → 1,523,382; 15 →
+    # 1,526,960 — longer contexts thin out repeat coverage faster than
+    # they remove dense-array aliases).
+    dna_siv_cap: int = _SIV_LEN_CAP
 
     def adjust_kmer_sizes(self) -> None:
         """Auto-pick k-mer lengths from genome size (parity: params.h:131-155)."""
@@ -149,7 +168,7 @@ class Params:
 
     @property
     def siv_len(self) -> int:
-        return min(self.pmer_len, _SIV_LEN_CAP)
+        return min(self.pmer_len, self.dna_siv_cap)
 
     # --- archive header (self-describing, like reference store_params) ---
     _HDR_KEYS = (
@@ -162,6 +181,7 @@ class Params:
         "local_log2_cells", "local_model_inc",
         "dna_mix_w", "dna_mix_b", "dna_sorted_ctx",
         "dna_repair_iters", "dna_claim_rounds", "dna_local_rc",
+        "dna_pmer_gate", "dna_siv_cap", "dna_prefix_ramp",
     )
 
     # decode-affecting params whose absence in an archive header means the
@@ -169,7 +189,9 @@ class Params:
     _HDR_LEGACY = {"local_log2_cells": 0, "local_model_inc": 8,
                    "id_codec_v": 1, "dna_mix_w": 0, "dna_mix_b": 64,
                    "dna_sorted_ctx": 0, "dna_repair_iters": 3,
-                   "dna_claim_rounds": 2, "dna_local_rc": 1}
+                   "dna_claim_rounds": 2, "dna_local_rc": 1,
+                   "dna_pmer_gate": 0, "dna_siv_cap": 13,
+                   "dna_prefix_ramp": 0}
 
     def store_params(self) -> bytes:
         d = {}

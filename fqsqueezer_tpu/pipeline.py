@@ -50,6 +50,13 @@ def make_configs(p: Params):
         repair_iters=p.dna_repair_iters,
         claim_rounds=p.dna_claim_rounds,
         local_rc=p.dna_local_rc > 0,
+        pmer_gate=p.dna_pmer_gate,
+        # prefix ramp reads the dense SIV by raw index range; the mesh path
+        # shards the SIV over tp, so (like the PE anchor machinery) the flag
+        # only takes effect on single-chip archives — the header records
+        # what the writer actually did either way
+        prefix_ramp=(p.dna_prefix_ramp > 0
+                     and p.mesh_dp <= 1 and p.mesh_tp <= 1),
         sorted_ctx=(p.dna_sorted_ctx > 0
                     and p.dna_mode in (DnaMode.SE_SORTED, DnaMode.PE_SORTED)),
         # anchor machinery on the single-chip PE path only (the mesh path

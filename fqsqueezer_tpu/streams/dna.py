@@ -125,6 +125,23 @@ class DnaConfig:
     # insert the reverse-complement strand into the in-batch local tables
     # (the global tables always take both strands)
     local_rc: bool = True
+    # pmer-level position gate: SIV evidence enters the cascade only at
+    # positions < pmer_gate (0 = no gate). Motivated by the reference's
+    # lev:1 contexts firing almost only in the read-prefix zone (ctx.log at
+    # -v 2, pos 10-14) — but measured a NET LOSS here (standard corpus DNA:
+    # ungated 1,535,058; gate 18/22/28/40 → 1,547,420/1,547,626/1,546,644/
+    # 1,544,606): the count-profile-conditioned rank model already prices
+    # weak mid-read SIV evidence correctly (avg 1.74 b < the 2.02 b letters
+    # floor), so dropping it loses information. Kept as an archive-header
+    # knob for real-data re-evaluation; default off.
+    pmer_gate: int = 0
+    # read-prefix partial-SIV ramp (_prefix_ramp): positions
+    # [prefix_len, siv_len-2] — before a full SIV window exists — get
+    # cascade counts from contiguous range sums over the dense SIV, the
+    # analog of the reference's partial-kmer pmer queries
+    # (find_counts_p, dna.cpp:210-226; bit_vec.h test_shorter). Those
+    # positions otherwise code pure letters at the 2-bit floor.
+    prefix_ramp: bool = False
 
 
 class DnaState(NamedTuple):
@@ -308,6 +325,50 @@ def _repair_trigger(counts, level, base):
     return trig, best
 
 
+def _ramp_cols(cfg):
+    """Read positions served by the prefix ramp: a full prefix_len-base
+    prefix exists but the full (siv_len-1)-base SIV window does not."""
+    return list(range(cfg.prefix_len, cfg.siv_len - 1))
+
+
+def _prefix_ramp_counts(cfg, siv, kcodes, q: int):
+    """[R, 4] summed SIV counts of all siv_len-mers whose first q bases are
+    the read prefix kcodes[:, :q] and whose base q is the candidate — the
+    TPU analog of the reference's partial-kmer pmer query (find_counts_p,
+    dna.cpp:210-226: bit_vec test_shorter range sum). The SIV packs the
+    earliest context base in the most significant index bits, so the
+    matching cells of one (prefix, candidate) pair are one CONTIGUOUS word
+    range; the free low bits (unseen context tail + the next-base lane) are
+    summed out."""
+    R = kcodes.shape[0]
+    w = (4 ** jnp.arange(q - 1, -1, -1, dtype=jnp.int32))[None, :]
+    pfx = jnp.sum(kcodes[:, :q].astype(jnp.int32) * w, axis=1)      # [R]
+    free = cfg.siv_len - 2 - q            # context bases below the candidate
+    nw = 4 ** free                        # words per candidate
+    start = ((pfx[:, None] << 2) + jnp.arange(4, dtype=jnp.int32)[None, :]
+             ) << (2 * free)                                        # [R, 4]
+    idx = start[:, :, None] + jnp.arange(nw, dtype=jnp.int32)[None, None, :]
+    c = tables.unpack_counts(siv[idx])                              # [R,4,nw,4]
+    return jnp.minimum(jnp.sum(c, axis=(2, 3)), 255)
+
+
+def _prefix_ramp_counts_dyn(cfg, siv, pfx, i):
+    """_prefix_ramp_counts with a TRACED position i (decode scan): fixed
+    max-width gather, words beyond the true 4^(siv_len-2-i) range masked.
+    pfx: [N] int32 packed first-i decoded bases."""
+    ctx_len = cfg.siv_len - 1
+    nw_max = 4 ** (ctx_len - 1 - cfg.prefix_len)
+    free = 2 * (ctx_len - 1 - i)                      # bit width of the range
+    start = ((pfx[:, None] << 2)
+             + jnp.arange(4, dtype=jnp.int32)[None, :]) << free     # [N, 4]
+    w = jnp.arange(nw_max, dtype=jnp.int32)[None, None, :]
+    valid = w < (jnp.int32(1) << free)
+    idx = jnp.where(valid, start[:, :, None] + w, 0)
+    c = tables.unpack_counts(siv[idx])                # [N, 4, nw_max, 4]
+    c = jnp.where(valid[..., None], c, 0)
+    return jnp.minimum(jnp.sum(c, axis=(2, 3)), 255)
+
+
 def _window_parts(cfg, state, kcodes, lengths, be=tables.LOCAL,
                   with_siv: bool = True):
     """Pack all three window widths over kcodes and run the GLOBAL cascade
@@ -328,6 +389,8 @@ def _window_parts(cfg, state, kcodes, lengths, be=tables.LOCAL,
     b_lo, b_hi = kmers.shift_right(b_lo, 1), kmers.shift_right(b_hi, 1)
 
     vp = pos >= cfg.siv_len - 1
+    if cfg.pmer_gate > 0:
+        vp = vp & (pos < cfg.pmer_gate)
     vs = pos >= cfg.smer_len - 1
     vb = pos >= cfg.bmer_len - 1
     if with_siv:
@@ -337,6 +400,14 @@ def _window_parts(cfg, state, kcodes, lengths, be=tables.LOCAL,
         parts = _cascade_parts(
             state, pm, s_lo, s_hi, b_lo, b_hi, vp, vs, vb, be,
             cfg.smer_log2_buckets, cfg.bmer_log2_buckets)
+        if cfg.prefix_ramp:
+            cp, cs, cb, fp, fs, fb = parts
+            for q in _ramp_cols(cfg):
+                cq = _prefix_ramp_counts(cfg, state.siv, kcodes, q)
+                ok = (jnp.sum(cq, axis=-1) > 0) & active[:, q]
+                cp = cp.at[:, q].set(jnp.where(ok[:, None], cq, cp[:, q]))
+                fp = fp.at[:, q].set(fp[:, q] | ok)
+            parts = (cp, cs, cb, fp, fs, fb)
     else:
         cs, fs = be.table_find(state.s_tc, s_lo, s_hi, cfg.smer_log2_buckets)
         cb, fb = be.table_find(state.b_tc, b_lo, b_hi, cfg.bmer_log2_buckets)
@@ -834,7 +905,10 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
                 in_anchor = jnp.zeros_like(active)
                 anchor_sym = jnp.zeros((N,), jnp.int32)
 
-            vp = jnp.broadcast_to((i >= cfg.siv_len - 1) & active, x.shape)
+            vp_i = i >= cfg.siv_len - 1
+            if cfg.pmer_gate > 0:
+                vp_i = vp_i & (i < cfg.pmer_gate)
+            vp = jnp.broadcast_to(vp_i & active, x.shape)
             vs = jnp.broadcast_to((i >= s_w) & active, x.shape)
             vb = jnp.broadcast_to((i >= b_w) & active, x.shape)
             s_ctx = (slo & s_mlo, shi & s_mhi)
@@ -843,6 +917,23 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
                 state, (pkey & pm_mask).astype(jnp.int32),
                 s_ctx[0], s_ctx[1], b_ctx[0], b_ctx[1], vp, vs, vb, be,
                 cfg.smer_log2_buckets, cfg.bmer_log2_buckets)
+            if cfg.prefix_ramp:
+                # partial-prefix SIV evidence where no full window exists
+                # yet (mirror of the _window_parts injection; pkey's low 2i
+                # bits are exactly this row's decoded prefix, and repair
+                # never rewrites positions this early)
+                in_ramp = (i >= cfg.prefix_len) & (i < cfg.siv_len - 1)
+                cq = jax.lax.cond(
+                    in_ramp,
+                    lambda: _prefix_ramp_counts_dyn(
+                        cfg, state.siv,
+                        (pkey & ((jnp.uint32(1) << (2 * i).astype(jnp.uint32))
+                                 - 1)).astype(jnp.int32), i),
+                    lambda: jnp.zeros((N, 4), jnp.int32))
+                ok = in_ramp & active & (jnp.sum(cq, axis=-1) > 0)
+                cp_, cs_, cb_, fp_, fs_, fb_ = parts
+                parts = (jnp.where(ok[:, None], cq, cp_), cs_, cb_,
+                         fp_ | ok, fs_, fb_)
             counts_g, level_g = _cascade_combine(*parts)
             if with_local:
                 ls, lb, lm = loc

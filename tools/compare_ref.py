@@ -78,7 +78,15 @@ def run_ref(name, kind, files, margs):
 
 def run_ours(name, kind, files, margs):
     arc = os.path.join(OUT, f"{name}.ours.fqst")
-    cmd = [sys.executable, "-m", "fqsqueezer_tpu.cli", "e",
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.environ.get("FQTZ_CPU"):
+        # TPU tunnel busy/down: archive bytes are backend-deterministic
+        # (integer-only codec), so sizes measured on CPU are valid; walls
+        # are marked cpu=True and must not be compared against the chip.
+        head = [sys.executable, os.path.join(repo, "tools", "cpu_cli.py")]
+    else:
+        head = [sys.executable, "-m", "fqsqueezer_tpu.cli"]
+    cmd = [*head, "e",
            "-p" if kind == "pe" else "-s", *margs, "-out", arc, *files]
     t0 = time.time()
     r = subprocess.run(cmd, capture_output=True, text=True,
@@ -86,7 +94,10 @@ def run_ours(name, kind, files, margs):
     if r.returncode != 0:
         sys.stderr.write(r.stdout[-2000:] + "\n" + r.stderr[-4000:] + "\n")
         raise SystemExit(f"[{name}] ours failed rc={r.returncode}")
-    return {"bytes": os.path.getsize(arc), "wall": round(time.time() - t0, 1)}
+    out = {"bytes": os.path.getsize(arc), "wall": round(time.time() - t0, 1)}
+    if os.environ.get("FQTZ_CPU"):
+        out["cpu"] = True
+    return out
 
 
 def main():
