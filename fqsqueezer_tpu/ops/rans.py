@@ -45,10 +45,13 @@ def _div_u32_by_u16(x: jax.Array, f: jax.Array):
     xi = x
     q = jnp.zeros_like(x)
     r = jnp.zeros_like(x)
-    finv = 1.0 / f.astype(jnp.float32)
+    # route u32<->f32 casts through i32 (all values < 2^24 so exact);
+    # Mosaic has no direct uint32<->float32 cast
+    finv = 1.0 / f.astype(jnp.int32).astype(jnp.float32)
     for d in (24, 16, 8, 0):
         num = (r << 8) | ((xi >> d) & jnp.uint32(0xFF))
-        qd = (num.astype(jnp.float32) * finv).astype(jnp.uint32)
+        qd = (num.astype(jnp.int32).astype(jnp.float32)
+              * finv).astype(jnp.int32).astype(jnp.uint32)
         rd = num - qd * f
         # correctly-rounded f32 divide of exact ints < 2^24 puts qd within
         # +/-1 of the true digit; fix over-estimate (rd wrapped negative —

@@ -68,23 +68,28 @@ def swar_sat_add_u8(a: jax.Array, b: jax.Array) -> jax.Array:
 
 def _scatter_delta_u8(n_words: int, idx, base, valid):
     """Accumulate per-(word, base) increments with ONE scatter into a
-    double-length plane of u16x2-packed uint32 words (word 2i = bases 0|1,
-    word 2i+1 = bases 2|3), then collapse to a saturated u8x4 delta word.
-    Scatter cost on TPU is latency-per-event (~12 ns measured), independent
-    of the target array size — so one scatter into 2n words replaces the
-    round-1 TWO scatters into n-word planes at half the cost, while keeping
-    65535 per-(cell, base) headroom (homopolymer contexts exceed 255 events
-    per batch; saturation must happen at collapse, not by byte wraparound)."""
+    double-length plane of u16x2-packed uint32 words (word i = bases 0|1,
+    word n_words+i = bases 2|3), then collapse to a saturated u8x4 delta
+    word. Scatter cost on TPU is latency-per-event (~12 ns measured),
+    independent of the target array size — so one scatter into 2n words
+    replaces the round-1 TWO scatters into n-word planes at half the cost,
+    while keeping 65535 per-(cell, base) headroom (homopolymer contexts
+    exceed 255 events per batch; saturation must happen at collapse, not by
+    byte wraparound). The two halves are CONTIGUOUS (not interleaved word
+    pairs): an interleaved [n_words, 2] view forces a tiled (8,128) layout
+    whose minor dim pads 2 -> 128 — a 64x materialization (32 GiB at
+    siv_len 14); contiguous halves collapse with plain 1D slices."""
     b = base.astype(jnp.uint32) & 3
-    idx2 = idx * 2 + (b >> 1).astype(jnp.int32)
+    idx2 = idx + (b >> 1).astype(jnp.int32) * n_words
     inc = jnp.uint32(1) << ((b & 1) << 4)
     idx2 = jnp.where(valid, idx2, 2 * n_words)
     d = jnp.zeros((2 * n_words,), jnp.uint32).at[idx2].add(inc, mode="drop")
-    d = d.reshape(n_words, 2)
-    c0 = jnp.minimum(d[:, 0] & 0xFFFF, 255)
-    c1 = jnp.minimum(d[:, 0] >> 16, 255)
-    c2 = jnp.minimum(d[:, 1] & 0xFFFF, 255)
-    c3 = jnp.minimum(d[:, 1] >> 16, 255)
+    c01 = d[:n_words]
+    c23 = d[n_words:]
+    c0 = jnp.minimum(c01 & 0xFFFF, 255)
+    c1 = jnp.minimum(c01 >> 16, 255)
+    c2 = jnp.minimum(c23 & 0xFFFF, 255)
+    c3 = jnp.minimum(c23 >> 16, 255)
     return c0 | (c1 << 8) | (c2 << 16) | (c3 << 24)
 
 

@@ -88,3 +88,35 @@ def test_state_carry_across_blocks():
         x, ptr = rans.rans_decode_advance(
             x, ptr, w, jnp.asarray(f2[t], jnp.uint32), jnp.asarray(c2[t], jnp.uint32), SB)
     assert int(ptr) == len(stream)
+
+def test_pallas_kernel_matches_scan():
+    """The Pallas encode kernel (interpret mode on CPU) must produce the
+    identical (words, n_words, states) as the lax.scan reference path,
+    including chunk padding (T not a multiple of _PALLAS_CHUNK) and masked
+    no-op rows. Guards against Mosaic-only lowering breaks (e.g. the
+    uint32<->float32 cast gap) diverging from the tested scan semantics."""
+    if not rans._HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(11)
+    T, N, A = 300, 128, 8  # T straddles a 256-chunk boundary; N % 128 == 0
+    syms, cdf, freq, cumv, mask = _random_stream(rng, T, N, A)
+    f = jnp.asarray(freq, jnp.uint32)
+    c = jnp.asarray(cumv, jnp.uint32)
+    init = rans.rans_initial_states(N)
+
+    def scan_path(f, c):
+        def step(x, inp):
+            ff, cc = inp
+            emit = (x >> (32 - SB)) >= ff
+            word = x & rans.WORD_MASK
+            x = jnp.where(emit, x >> rans.WORD_BITS, x)
+            q = x // ff
+            r = x - q * ff
+            return (q << SB) + cc + r, (word, emit)
+        return jax.lax.scan(step, init, (f, c), reverse=True)
+
+    x_ref, (w_ref, e_ref) = scan_path(f, c)
+    w_pl, e_pl, x_pl = rans._rans_encode_pallas(f, c, SB, init, interpret=True)
+    np.testing.assert_array_equal(np.asarray(w_pl), np.asarray(w_ref))
+    np.testing.assert_array_equal(np.asarray(e_pl), np.asarray(e_ref))
+    np.testing.assert_array_equal(np.asarray(x_pl), np.asarray(x_ref))
