@@ -27,6 +27,20 @@ ALPHA = 1          # additive smoothing per symbol
 RAW_CAP_BITS = 13  # raw row totals kept below 2^RAW_CAP_BITS via halving
 
 
+def floor_div_prod(x: jax.Array, y: jax.Array, d: jax.Array) -> jax.Array:
+    """Exact floor(x * y / d) for int32 x, y >= 0, d >= 1 with x*y < 2^31
+    and quotient < ~2^20, WITHOUT integer division (lowered by XLA:TPU to a
+    long shift-subtract sequence on the VPU — measured a large share of the
+    modeling phase). f32 multiply+divide puts the quotient within +/-1 of
+    truth (rel error <= 2^-23 of a small quotient); one integer
+    multiply-back correction each side makes it exact — the same trick as
+    the rANS kernel's reciprocal divide (ops/rans.py _div_u32_by_u16)."""
+    q = (x.astype(jnp.float32) * y.astype(jnp.float32)
+         / d.astype(jnp.float32)).astype(jnp.int32)
+    r = x * y - q * d
+    return q + (r >= d).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+
+
 def model_create(n_ctx: int, n_sym: int) -> jax.Array:
     return jnp.zeros((n_ctx, n_sym), dtype=jnp.int32)
 
@@ -36,7 +50,10 @@ def _rows_to_cdf(rows: jax.Array, scale_bits: int) -> jax.Array:
     total = cum[..., -1:]
     zeros = jnp.zeros_like(cum[..., :1])
     cum = jnp.concatenate([zeros, cum], axis=-1)   # [..., A+1]
-    return ((cum << scale_bits) // total).astype(jnp.int32)
+    # exact floor(cum << sb / total) without integer division: cum <= total
+    # <= 2^scale_bits (the freq>=1 headroom proof), so cum << sb <= 2^28
+    # and the quotient <= 2^sb — well inside floor_div_prod's envelope
+    return floor_div_prod(cum, jnp.int32(1 << scale_bits), total)
 
 
 def model_cdf(freqs: jax.Array, ctx: jax.Array, scale_bits: int) -> jax.Array:
@@ -90,8 +107,10 @@ def model_cdf_mix(freqs: jax.Array, coarse: jax.Array, ctx: jax.Array,
     g = coarse[cctx]
     tf = jnp.sum(f, axis=-1, keepdims=True)
     tg = jnp.sum(g, axis=-1, keepdims=True)
-    w_eff = (w * b) // (tf + b)
-    rows = f + (g * w_eff) // (tg + freqs.shape[1]) + ALPHA
+    # both quotients are small (<= w) with products < 2^25: exact via
+    # floor_div_prod instead of the slow VPU integer division
+    w_eff = floor_div_prod(jnp.int32(w), jnp.int32(b), tf + b)
+    rows = f + floor_div_prod(g, w_eff, tg + freqs.shape[1]) + ALPHA
     return _rows_to_cdf(rows, scale_bits)
 
 

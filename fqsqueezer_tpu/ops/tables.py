@@ -232,16 +232,27 @@ def table_update(tc: jax.Array, lo: jax.Array, hi: jax.Array,
     bkt/tag may be passed precomputed (the tp-sharded path supplies local
     bucket indices after ownership masking, parallel/sharded.py).
 
-    Claim design (2 cheap rounds, cost-tuned to the measured TPU profile —
-    scatters/gathers are latency-per-event, integer div and [n, 8]-wide
-    cumsum/argmax passes cost ~6-13 ms each at batch size): a new key picks
-    its claim slot by rotating the bucket's empty-slot BITMASK by a hash of
-    its tag and taking the first set bit (count-trailing-zeros via the f32
-    exponent — all cheap lanewise ops, no division), then a scatter-max of
-    the tag resolves same-batch contention deterministically (max is
-    commutative). Distinct new keys in the same bucket usually pick distinct
-    slots; same-slot losers see an updated bitmask next round and take the
-    next empty slot. Keys still unplaced after 2 rounds retry on a later
+    rounds == 0 selects the FUSED protocol (the round-3 default): ONE row
+    gather serves both the existing-key probe and the claim decision, then
+    one scatter-max claims tags and one scatter accumulates count deltas —
+    3 engine passes total (each ~5-9 ms per 820k events on the chip; the
+    legacy path below costs 6+ passes plus per-round VPU sweeps, measured
+    104 ms vs ~25 ms per table per batch). Claiming events scatter their
+    count delta OPTIMISTICALLY into the slot they claimed: winners count
+    their same-batch occurrences exactly like the legacy re-probe did
+    (preserving the found => count>=1 invariant the cascade relies on —
+    dropping same-batch counts instead was measured at +38% DNA bytes);
+    an event that LOST its claim to a different key deterministically
+    pollutes the winner's counters — rare (same-batch new-key slot
+    contention), bounded by u8 saturation, and replayed identically by
+    the decoder, like local_insert's lite mode.
+
+    rounds >= 1 is the legacy claim-round protocol (kept for older archive
+    headers): a new key picks its claim slot by rotating the bucket's
+    empty-slot BITMASK by a hash of its tag and taking the first set bit
+    (count-trailing-zeros via the f32 exponent), then a scatter-max of the
+    tag resolves same-batch contention deterministically; same-slot losers
+    see an updated bitmask next round. Keys still unplaced retry on a later
     recurrence, like the reference's dropped inserts (ht_kmer.h:420-438).
     """
     n = lo.shape[0]
@@ -256,6 +267,28 @@ def table_update(tc: jax.Array, lo: jax.Array, hi: jax.Array,
     bkt = jnp.where(valid, bkt, 0)
 
     weights = (jnp.int32(1) << jnp.arange(BUCKET, dtype=jnp.int32))[None, :]
+
+    if rounds == 0:
+        row = tc[bkt]                               # [n, 2*BUCKET]
+        tags_r = row[:, :BUCKET]
+        match = tags_r == tag[:, None]
+        found = jnp.any(match, axis=1) & valid
+        cell = jnp.argmax(match, axis=1)
+        bm = jnp.sum(jnp.where(tags_r == EMPTY, weights, 0), axis=1)
+        want = valid & ~found & (bm > 0)
+        j = (tag >> 13).astype(jnp.int32) & (BUCKET - 1)
+        rot = ((bm >> j) | (bm << (BUCKET - j))) & ((1 << BUCKET) - 1)
+        slot = (j + _ctz(rot)) & (BUCKET - 1)
+        flat_claim = jnp.where(want, bkt * W + slot, n_buckets * W)
+        tc = tc.reshape(-1).at[flat_claim].max(tag, mode="drop").reshape(
+            n_buckets, W)
+        dcell = jnp.where(found, cell, slot)
+        delta = _scatter_delta_u8(n_buckets * BUCKET, bkt * BUCKET + dcell,
+                                  base, found | want)
+        delta16 = jnp.concatenate(
+            [jnp.zeros((n_buckets, BUCKET), jnp.uint32),
+             delta.reshape(n_buckets, BUCKET)], axis=1)
+        return swar_sat_add_u8(tc, delta16)
 
     def claim_round(r, tc):
         row_t = tc[bkt][:, :BUCKET]                 # [n, BUCKET]
@@ -336,10 +369,19 @@ def local_query(tc: jax.Array, cell, tag, valid):
     return jnp.where(hit[..., None], row[..., 1:].astype(jnp.int32), 0)
 
 
-def local_insert(tc: jax.Array, cell, tag, base, valid, row=0):
+def local_insert(tc: jax.Array, cell, tag, base, valid, row=0,
+                 lite: bool = False):
     """Insert (context -> base) events; cell/tag/base/valid: [n] flat,
     row: the read-row index these events belong to (claim priority).
-    Three engine passes: claim scatter-max, ownership gather, count add."""
+    Three engine passes: claim scatter-max, ownership gather, count add.
+
+    lite=True drops the ownership gather (2 passes): counts scatter-add
+    into the cell unconditionally, so when two keys collide on a cell the
+    loser's counts pollute the winner's lanes. Queries still verify the tag
+    (a miss reads zeros), and the pollution is DETERMINISTIC — encoder and
+    decoder replay the identical rule — so round-trips stay exact; only the
+    statistics of ~tag-collision-rate cells blur (measured ratio cost on
+    the standard corpus: see BASELINE.md round-3 notes)."""
     C = tc.shape[0]
     flat = tc.reshape(-1)
     row_inv = jnp.uint32(31) - jnp.minimum(
@@ -348,7 +390,10 @@ def local_insert(tc: jax.Array, cell, tag, base, valid, row=0):
     tag_idx = cell * LOCAL_W
     flat = flat.at[jnp.where(valid, tag_idx, C * LOCAL_W)].max(
         stamped, mode="drop")
-    ok = valid & ((flat[tag_idx] & LOCAL_TAG_MASK) == tag)
+    if lite:
+        ok = valid
+    else:
+        ok = valid & ((flat[tag_idx] & LOCAL_TAG_MASK) == tag)
     cnt_idx = tag_idx + 1 + base
     flat = flat.at[jnp.where(ok, cnt_idx, C * LOCAL_W)].add(1, mode="drop")
     return flat.reshape(C, LOCAL_W)

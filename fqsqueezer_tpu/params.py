@@ -127,9 +127,16 @@ class Params:
     # throughput/ratio knobs (decode-affecting, stored in the header):
     # greedy repair iterations; global-table claim rounds per update;
     # whether local tables also ingest the reverse-complement strand
-    dna_repair_iters: int = 3
-    dna_claim_rounds: int = 2
+    # round-3 defaults (TPU sweep, standard corpus): repair 3->2 iters
+    # +226 B, fused table updates (claim_rounds 0) +762 B, 2-pass local
+    # inserts (local_lite) +46 B — together +0.07% size for +39% compress
+    # throughput (7,109 -> 9,885 reads/s at that point in the round).
+    dna_repair_iters: int = 2
+    dna_claim_rounds: int = 0
     dna_local_rc: int = 1
+    # 2-pass local inserts (tables.local_insert lite=True: no ownership
+    # gather; deterministic collision pollution). Decode-affecting.
+    dna_local_lite: int = 1
     # pmer-level position gate (streams/dna.py DnaConfig.pmer_gate): SIV
     # evidence enters the cascade only at positions < gate; 0 = ungated.
     # Measured a net LOSS on the standard corpus (see the DnaConfig
@@ -182,6 +189,7 @@ class Params:
         "dna_mix_w", "dna_mix_b", "dna_sorted_ctx",
         "dna_repair_iters", "dna_claim_rounds", "dna_local_rc",
         "dna_pmer_gate", "dna_siv_cap", "dna_prefix_ramp",
+        "dna_local_lite",
     )
 
     # decode-affecting params whose absence in an archive header means the
@@ -191,7 +199,7 @@ class Params:
                    "dna_sorted_ctx": 0, "dna_repair_iters": 3,
                    "dna_claim_rounds": 2, "dna_local_rc": 1,
                    "dna_pmer_gate": 0, "dna_siv_cap": 13,
-                   "dna_prefix_ramp": 0}
+                   "dna_prefix_ramp": 0, "dna_local_lite": 0}
 
     def store_params(self) -> bytes:
         d = {}

@@ -49,6 +49,7 @@ def make_configs(p: Params):
         mix_w=p.dna_mix_w, mix_b=p.dna_mix_b,
         repair_iters=p.dna_repair_iters,
         claim_rounds=p.dna_claim_rounds,
+        local_lite=p.dna_local_lite > 0,
         local_rc=p.dna_local_rc > 0,
         pmer_gate=p.dna_pmer_gate,
         # prefix ramp reads the dense SIV by raw index range; the mesh path

@@ -120,8 +120,12 @@ class DnaConfig:
     # greedy repair iterations (encoder) == per-read repair budget (decoder);
     # each encoder iteration is one full s+b window pass over the batch
     repair_iters: int = MAX_REPAIRS
-    # deterministic claim rounds per global-table update (tables.table_update)
+    # global-table update protocol (tables.table_update): 0 = fused
+    # 3-pass probe+claim+delta, >=1 = legacy claim rounds
     claim_rounds: int = 2
+    # in-batch local insert protocol (tables.local_insert): True = 2-pass
+    # (no ownership gather; deterministic collision pollution)
+    local_lite: bool = False
     # insert the reverse-complement strand into the in-batch local tables
     # (the global tables always take both strands)
     local_rc: bool = True
@@ -483,7 +487,8 @@ def local_row_update(cfg, ls, lb, lm, eff_row, ctx_row, sym_row, act_row,
             tags_ = jnp.concatenate([tags_, tr.reshape(-1)])
             bases = jnp.concatenate([bases, br.reshape(-1)])
             vs_ = jnp.concatenate([vs_, v])
-        return tables.local_insert(tbl, cells, tags_, bases, vs_, row=row)
+        return tables.local_insert(tbl, cells, tags_, bases, vs_, row=row,
+                                   lite=cfg.local_lite)
 
     ls = upd(ls, cfg.smer_len)
     lb = upd(lb, cfg.bmer_len)

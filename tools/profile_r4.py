@@ -41,27 +41,52 @@ def sync(r):
     np.asarray(x.reshape(-1)[0] if x.ndim else x)
 
 
-def t_chain(label, fn, state0, n_events=0):
-    """fn: state -> state (same pytree structure). Times REPS chained
-    applications inside one jit minus a 1-application baseline."""
+def t_chain(label, fn, state0, n_events=0, reps=REPS):
+    """fn: state -> state (same pytree structure). Times `reps` chained
+    applications inside one jit minus a 1-application baseline. Big graphs
+    (whole dna_modeling) must pass a small `reps` — the remote compile
+    service rejects the 8x-unrolled HLO body with HTTP 413."""
 
     @partial(jax.jit, static_argnums=1)
-    def run(s, reps):
+    def run(s, r):
         def body(_, s):
             return fn(s)
-        return jax.lax.fori_loop(0, reps, body, s)
+        return jax.lax.fori_loop(0, r, body, s)
 
     sync(run(state0, 1))
-    sync(run(state0, REPS))
+    sync(run(state0, reps))
     t0 = time.time()
     sync(run(state0, 1))
     t1 = time.time() - t0
     t0 = time.time()
-    sync(run(state0, REPS))
+    sync(run(state0, reps))
     tR = time.time() - t0
-    per = (tR - t1) / (REPS - 1)
+    per = (tR - t1) / (reps - 1)
     ev = f"  ({n_events/per/1e6:6.1f} M ev/s)" if n_events else ""
     print(f"{label:<44s} {per*1e3:8.2f} ms{ev}", flush=True)
+    return per
+
+
+def t_seq(label, fn, state0, reps=6):
+    """Python-level chaining for graphs too big for the fori_loop wrapper
+    (the remote compile service 413s on the unrolled body): jit fn once,
+    dispatch it `reps` times feeding each output to the next call, sync
+    once. Dispatch overhead amortizes over the op's real cost."""
+    jfn = jax.jit(fn)
+    sync(jfn(state0))
+    s = state0
+    t0 = time.time()
+    s = jfn(s)
+    sync(s)
+    t1 = time.time() - t0
+    s = state0
+    t0 = time.time()
+    for _ in range(reps):
+        s = jfn(s)
+    sync(s)
+    tR = time.time() - t0
+    per = (tR - t1) / (reps - 1)
+    print(f"{label:<44s} {per*1e3:8.2f} ms", flush=True)
     return per
 
 
@@ -158,7 +183,7 @@ def main():
     def f_stc0(s):
         return tables.table_update(s, *s_ev, log2_base=dcfg.smer_log2_buckets,
                                    rounds=0)
-    t_chain("s table_update rounds=0 (probe+delta)", f_stc0, st.s_tc, n2)
+    t_chain("s table_update FUSED (rounds=0)", f_stc0, st.s_tc, n2)
 
     def f_btc(s):
         return tables.table_update(s, *b_ev, log2_base=dcfg.bmer_log2_buckets,
@@ -178,7 +203,7 @@ def main():
         ctx2, sym2, f2, c2, _ = dna.dna_modeling(
             dcfg, st._replace(model=s), codes, eff, lengths)
         return s + f2[0, 0]
-    t_chain("dna_modeling FULL (row scan)", f_modeling, st.model)
+    t_seq("dna_modeling FULL (row scan)", f_modeling, st.model)
 
     cfg_noloc = dna.DnaConfig(**{**dcfg.__dict__, "local_log2_cells": 0})
 
@@ -186,7 +211,24 @@ def main():
         ctx2, sym2, f2, c2, _ = dna.dna_modeling(
             cfg_noloc, st._replace(model=s), codes, eff, lengths)
         return s + f2[0, 0]
-    t_chain("dna_modeling local_cells=0 (flat)", f_modeling_nl, st.model)
+    t_seq("dna_modeling local_cells=0 (flat)", f_modeling_nl, st.model)
+
+    cfg_nomix = dna.DnaConfig(**{**dcfg.__dict__, "mix_w": 0})
+    st_nomix = st._replace(cmodel=None)
+
+    def f_modeling_nm(s):
+        ctx2, sym2, f2, c2, _ = dna.dna_modeling(
+            cfg_nomix, st_nomix._replace(model=s), codes, eff, lengths)
+        return s + f2[0, 0]
+    t_seq("dna_modeling mix_w=0 (no coarse)", f_modeling_nm, st.model)
+
+    cfg_lite = dna.DnaConfig(**{**dcfg.__dict__, "local_lite": True})
+
+    def f_modeling_lt(s):
+        ctx2, sym2, f2, c2, _ = dna.dna_modeling(
+            cfg_lite, st._replace(model=s), codes, eff, lengths)
+        return s + f2[0, 0]
+    t_seq("dna_modeling local_lite", f_modeling_lt, st.model)
 
     # local insert cost alone: one full batch of row updates
     def f_localins(s):
@@ -204,8 +246,8 @@ def main():
             return (ls, lb), 0
         (ls, lb), _ = jax.lax.scan(row, (ls, lb), (eff_rows, len_rows))
         return ls + lb[0, 0]
-    t_chain("local inserts x4 rows (4.9M ev)", f_localins,
-            tables.local_create(dcfg.local_log2_cells), 6 * n_pos)
+    t_seq("local inserts x4 rows", f_localins,
+          tables.local_create(dcfg.local_log2_cells))
 
     # cdf math alone (mix): gather fine+coarse rows and quantize
     def f_cdf(s):
@@ -235,8 +277,8 @@ def main():
     def f_eff(s):
         return dna.dna_effective_kcodes(dcfg, st._replace(model=s), codes,
                                         kcodes, lengths)[..., :1] * 0 + s
-    t_chain(f"dna_effective_kcodes ({dcfg.repair_iters} iters)", f_eff,
-            jnp.zeros((R, 1), jnp.int32))
+    t_seq(f"dna_effective_kcodes ({dcfg.repair_iters} iters)", f_eff,
+          jnp.zeros((R, 1), jnp.int32))
 
     # ---------------- quality ----------------
     print("\n== quality ==", flush=True)

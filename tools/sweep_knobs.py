@@ -35,6 +35,12 @@ VARIANTS = {
     "repair1": {"dna_repair_iters": 1},
     "fast": {"dna_claim_rounds": 1, "dna_local_rc": 0,
              "dna_repair_iters": 2},
+    # round-3 fused update protocols
+    "claim0": {"dna_claim_rounds": 0},
+    "lite": {"dna_local_lite": 1},
+    "fast3": {"dna_claim_rounds": 0, "dna_local_lite": 1},
+    "fast3r2": {"dna_claim_rounds": 0, "dna_local_lite": 1,
+                "dna_repair_iters": 2},
 }
 
 
