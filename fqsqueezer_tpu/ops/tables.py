@@ -264,7 +264,13 @@ def table_update(tc: jax.Array, lo: jax.Array, hi: jax.Array,
                         log2_buckets if log2_base < 0 else log2_base)
     if tag is None:
         tag = kmers.hash_tag(lo, hi)
-    bkt = jnp.where(valid, bkt, 0)
+    # invalid events still pay full engine cost (masking is not free), and
+    # their gathers must not all hit one row: a shared dummy bucket makes a
+    # conflict pile the gather engine serializes on. Spread them instead —
+    # they are masked out of every scatter, so the rows they touch are
+    # read-only noise.
+    spread = jnp.arange(lo.shape[0], dtype=jnp.int32) & (n_buckets - 1)
+    bkt = jnp.where(valid, bkt, spread)
 
     weights = (jnp.int32(1) << jnp.arange(BUCKET, dtype=jnp.int32))[None, :]
 
@@ -443,7 +449,11 @@ def pair_update(pt, klo, khi, vlo_n, vhi_n, w, valid):
     tags, vlo, vhi, cnt = pt
     n_buckets = tags.shape[0]
     log2b = n_buckets.bit_length() - 1
-    bkt = jnp.where(valid, kmers.hash_bucket(klo, khi, log2b), 0)
+    # spread invalid events (see table_update: a shared dummy bucket is a
+    # gather-conflict pile)
+    bkt = jnp.where(valid, kmers.hash_bucket(klo, khi, log2b),
+                    jnp.arange(klo.shape[0], dtype=jnp.int32)
+                    & (n_buckets - 1))
     tag = kmers.hash_tag(klo, khi)
     ticket = kmers.hash_tag(vlo_n * jnp.uint32(0x9E3779B1) ^ tag, vhi_n)
     weights = (jnp.int32(1) << jnp.arange(BUCKET, dtype=jnp.int32))[None, :]

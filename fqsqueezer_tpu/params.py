@@ -127,11 +127,13 @@ class Params:
     # throughput/ratio knobs (decode-affecting, stored in the header):
     # greedy repair iterations; global-table claim rounds per update;
     # whether local tables also ingest the reverse-complement strand
-    # round-3 defaults (TPU sweep, standard corpus): repair 3->2 iters
-    # +226 B, fused table updates (claim_rounds 0) +762 B, 2-pass local
-    # inserts (local_lite) +46 B — together +0.07% size for +39% compress
-    # throughput (7,109 -> 9,885 reads/s at that point in the round).
-    dna_repair_iters: int = 2
+    # round-3 defaults (TPU sweep, standard corpus): repair 3->1 iters
+    # (+3.2 KB = +0.09%, +9% speed at iters 2->1), fused table updates
+    # (claim_rounds 0) +762 B, 2-pass local inserts (local_lite) +46 B —
+    # together ~+0.2% size for ~+60% compress throughput (7,109 -> 11,501
+    # reads/s at that point in the round). Knobs stay in the header, so
+    # ratio-first users can set -repair 3 etc. and decode follows.
+    dna_repair_iters: int = 1
     dna_claim_rounds: int = 0
     dna_local_rc: int = 1
     # 2-pass local inserts (tables.local_insert lite=True: no ownership

@@ -473,16 +473,19 @@ def local_row_update(cfg, ls, lb, lm, eff_row, ctx_row, sym_row, act_row,
 
     def upd(tbl, k):
         w = k - 1
+        c0 = k - 1   # slice to columns with a full window (see
+        #              dna_collect_updates: masked events are not free)
         lo, hi = kmers.pack_windows(eff_row, w)
-        lo, hi = kmers.shift_right(lo, 1), kmers.shift_right(hi, 1)
+        lo = kmers.shift_right(lo, 1)[:, c0:]
+        hi = kmers.shift_right(hi, 1)[:, c0:]
         cf, tf = tables.local_keys(lo, hi, m)
-        v = ((pos >= k - 1) & in_len).reshape(-1)
+        v = in_len[:, c0:].reshape(-1)
         cells, tags_, bases, vs_ = (cf.reshape(-1), tf.reshape(-1),
-                                    eff_row.reshape(-1), v)
+                                    eff_row[:, c0:].reshape(-1), v)
         if cfg.local_rc:
             rlo, rhi = kmers.pack_windows_rc(eff_row, w)
-            cr, tr = tables.local_keys(rlo, rhi, m)
-            br = 3 - kmers.shift_right(eff_row, k - 1)
+            cr, tr = tables.local_keys(rlo[:, c0:], rhi[:, c0:], m)
+            br = (3 - kmers.shift_right(eff_row, k - 1))[:, c0:]
             cells = jnp.concatenate([cells, cr.reshape(-1)])
             tags_ = jnp.concatenate([tags_, tr.reshape(-1)])
             bases = jnp.concatenate([bases, br.reshape(-1)])
@@ -714,25 +717,33 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
             cmodel, _coarse_ctx(ctx_all).reshape(-1), sym_enc.reshape(-1),
             code_active.reshape(-1))
 
-    # SIV: packed siv_len windows are exactly (ctx<<2 | next_base) cell indices
-    siv_f = kmers.pack_windows(kcodes, cfg.siv_len)[0].astype(jnp.int32)
-    siv_r = kmers.pack_windows_rc(kcodes, cfg.siv_len)[0].astype(jnp.int32)
-    v_siv = (pos >= cfg.siv_len - 1) & active
+    # SIV: packed siv_len windows are exactly (ctx<<2 | next_base) cell
+    # indices. Event planes are SLICED to the columns where a full window
+    # exists (pos >= k-1) before flattening: engine passes charge per event
+    # whether masked or live (measured — see axon notes in profile_r4), so
+    # physically dropping the 13-20% never-valid columns is free speed.
+    c0 = cfg.siv_len - 1
+    siv_f = kmers.pack_windows(kcodes, cfg.siv_len)[0].astype(jnp.int32)[:, c0:]
+    siv_r = kmers.pack_windows_rc(kcodes, cfg.siv_len)[0].astype(jnp.int32)[:, c0:]
+    v_siv = active[:, c0:]
     siv = be.siv_update(
         state.siv,
         jnp.concatenate([siv_f.reshape(-1), siv_r.reshape(-1)]),
         jnp.concatenate([v_siv.reshape(-1), v_siv.reshape(-1)]))
 
     def upd(tc, k, log2b):
+        c0 = k - 1
         ctx_lo, ctx_hi = kmers.pack_windows(kcodes, k - 1)
-        ctx_lo = kmers.shift_right(ctx_lo, 1)
-        ctx_hi = kmers.shift_right(ctx_hi, 1)
+        ctx_lo = kmers.shift_right(ctx_lo, 1)[:, c0:]
+        ctx_hi = kmers.shift_right(ctx_hi, 1)[:, c0:]
         rc_lo, rc_hi = kmers.pack_windows_rc(kcodes, k - 1)
-        rc_base = 3 - kmers.shift_right(kcodes, k - 1)
-        vk = (pos >= k - 1) & active
+        rc_lo, rc_hi = rc_lo[:, c0:], rc_hi[:, c0:]
+        rc_base = (3 - kmers.shift_right(kcodes, k - 1))[:, c0:]
+        fwd_base = kcodes[:, c0:]
+        vk = active[:, c0:]
         lo = jnp.concatenate([ctx_lo.reshape(-1), rc_lo.reshape(-1)])
         hi = jnp.concatenate([ctx_hi.reshape(-1), rc_hi.reshape(-1)])
-        base = jnp.concatenate([kcodes.reshape(-1), rc_base.reshape(-1)])
+        base = jnp.concatenate([fwd_base.reshape(-1), rc_base.reshape(-1)])
         valid = jnp.concatenate([vk.reshape(-1), vk.reshape(-1)])
         return be.table_update(tc, lo, hi, base, valid,
                                log2_base=log2b, rounds=cfg.claim_rounds)

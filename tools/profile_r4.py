@@ -67,22 +67,23 @@ def t_chain(label, fn, state0, n_events=0, reps=REPS):
     return per
 
 
-def t_seq(label, fn, state0, reps=6):
+def t_seq(label, fn, state0, consts=(), reps=6):
     """Python-level chaining for graphs too big for the fori_loop wrapper
-    (the remote compile service 413s on the unrolled body): jit fn once,
-    dispatch it `reps` times feeding each output to the next call, sync
-    once. Dispatch overhead amortizes over the op's real cost."""
+    (the remote compile service 413s on the unrolled body — and on closure-
+    captured MB-scale arrays, which inline as HLO constants: pass them via
+    `consts` instead): jit fn once, dispatch it `reps` times feeding each
+    output to the next call, sync once."""
     jfn = jax.jit(fn)
-    sync(jfn(state0))
+    sync(jfn(state0, *consts))
     s = state0
     t0 = time.time()
-    s = jfn(s)
+    s = jfn(s, *consts)
     sync(s)
     t1 = time.time() - t0
     s = state0
     t0 = time.time()
     for _ in range(reps):
-        s = jfn(s)
+        s = jfn(s, *consts)
     sync(s)
     tR = time.time() - t0
     per = (tR - t1) / (reps - 1)
@@ -199,39 +200,43 @@ def main():
         return s + parts[0][0, 0, 0].astype(jnp.uint32)
     t_chain("global finds (siv+s+b, 1.23M ev)", f_parts, st.siv, 3 * n_pos)
 
-    def f_modeling(s):
+    def f_modeling(s, st_, codes, eff, lengths):
         ctx2, sym2, f2, c2, _ = dna.dna_modeling(
-            dcfg, st._replace(model=s), codes, eff, lengths)
+            dcfg, st_._replace(model=s), codes, eff, lengths)
         return s + f2[0, 0]
-    t_seq("dna_modeling FULL (row scan)", f_modeling, st.model)
+    t_seq("dna_modeling FULL (row scan)", f_modeling, st.model,
+          (st, codes, eff, lengths))
 
     cfg_noloc = dna.DnaConfig(**{**dcfg.__dict__, "local_log2_cells": 0})
 
-    def f_modeling_nl(s):
+    def f_modeling_nl(s, st_, codes, eff, lengths):
         ctx2, sym2, f2, c2, _ = dna.dna_modeling(
-            cfg_noloc, st._replace(model=s), codes, eff, lengths)
+            cfg_noloc, st_._replace(model=s), codes, eff, lengths)
         return s + f2[0, 0]
-    t_seq("dna_modeling local_cells=0 (flat)", f_modeling_nl, st.model)
+    t_seq("dna_modeling local_cells=0 (flat)", f_modeling_nl, st.model,
+          (st, codes, eff, lengths))
 
     cfg_nomix = dna.DnaConfig(**{**dcfg.__dict__, "mix_w": 0})
     st_nomix = st._replace(cmodel=None)
 
-    def f_modeling_nm(s):
+    def f_modeling_nm(s, st_, codes, eff, lengths):
         ctx2, sym2, f2, c2, _ = dna.dna_modeling(
-            cfg_nomix, st_nomix._replace(model=s), codes, eff, lengths)
+            cfg_nomix, st_._replace(model=s), codes, eff, lengths)
         return s + f2[0, 0]
-    t_seq("dna_modeling mix_w=0 (no coarse)", f_modeling_nm, st.model)
+    t_seq("dna_modeling mix_w=0 (no coarse)", f_modeling_nm, st.model,
+          (st_nomix, codes, eff, lengths))
 
     cfg_lite = dna.DnaConfig(**{**dcfg.__dict__, "local_lite": True})
 
-    def f_modeling_lt(s):
+    def f_modeling_lt(s, st_, codes, eff, lengths):
         ctx2, sym2, f2, c2, _ = dna.dna_modeling(
-            cfg_lite, st._replace(model=s), codes, eff, lengths)
+            cfg_lite, st_._replace(model=s), codes, eff, lengths)
         return s + f2[0, 0]
-    t_seq("dna_modeling local_lite", f_modeling_lt, st.model)
+    t_seq("dna_modeling local_lite", f_modeling_lt, st.model,
+          (st, codes, eff, lengths))
 
     # local insert cost alone: one full batch of row updates
-    def f_localins(s):
+    def f_localins(s, eff, lengths):
         ls, lb, lm = s, s, jnp.zeros((1, 1), jnp.int32)
         eff_rows = dna.common.to_row_blocks(eff, n_lanes=dcfg.n_lanes)
         len_rows = dna.common.to_read_grid(lengths, dcfg.n_lanes).T
@@ -247,15 +252,16 @@ def main():
         (ls, lb), _ = jax.lax.scan(row, (ls, lb), (eff_rows, len_rows))
         return ls + lb[0, 0]
     t_seq("local inserts x4 rows", f_localins,
-          tables.local_create(dcfg.local_log2_cells))
+          tables.local_create(dcfg.local_log2_cells), (eff, lengths))
 
     # cdf math alone (mix): gather fine+coarse rows and quantize
-    def f_cdf(s):
-        cdf = dna._dna_cdf(dcfg, st._replace(model=s), None, ctx,
+    def f_cdf(s, st_, ctx, sym):
+        cdf = dna._dna_cdf(dcfg, st_._replace(model=s), None, ctx,
                            dcfg.scale_bits)
         ff, cc = M.cdf_encode_lookup(cdf, sym)
         return s + ff[0, 0]
-    t_chain("cdf mix + quantize [4096,100]", f_cdf, st.model, 2 * n_pos)
+    t_seq("cdf mix + quantize [4096,100]", f_cdf, st.model,
+          (st, ctx, sym))
 
     # rank/ctx math alone (no gathers): feed counts directly
     counts = jnp.ones((R, L, 4), jnp.int32)
@@ -263,32 +269,32 @@ def main():
     pb = dna._pos_bucket(pos, lengths[:, None])
     let_ctx = dna._letters_plane(codes, pos, pb)
 
-    def f_rank(s):
+    def f_rank(s, counts, level, codes, let_ctx):
         ctx2, sym2 = dna._ctx_sym_from_counts(
             dcfg, counts + s[0, 0, None, None, None], level, codes, active,
             pb, let_ctx, pos)
         return s + ctx2[0, 0]
-    t_chain("rank+ctx VPU math [4096,100]", f_rank,
-            jnp.zeros((1, 1), jnp.int32))
+    t_seq("rank+ctx VPU math [4096,100]", f_rank,
+          jnp.zeros((1, 1), jnp.int32), (counts, level, codes, let_ctx))
 
     # ---------------- repair ----------------
     print("\n== repair ==", flush=True)
 
-    def f_eff(s):
-        return dna.dna_effective_kcodes(dcfg, st._replace(model=s), codes,
+    def f_eff(s, st_, codes, kcodes, lengths):
+        return dna.dna_effective_kcodes(dcfg, st_, codes,
                                         kcodes, lengths)[..., :1] * 0 + s
     t_seq(f"dna_effective_kcodes ({dcfg.repair_iters} iters)", f_eff,
-          jnp.zeros((R, 1), jnp.int32))
+          jnp.zeros((R, 1), jnp.int32), (st, codes, kcodes, lengths))
 
     # ---------------- quality ----------------
     print("\n== quality ==", flush=True)
 
-    def f_qual(s):
+    def f_qual(s, qsyms, lengths):
         q_ctx, q_f, q_c, q_act = quality.qual_modeling(qcfg, s, qsyms,
                                                        lengths)
         return M.model_update(s, q_ctx.reshape(-1), qsyms.reshape(-1),
                               q_act.reshape(-1))
-    t_chain("qual modeling+update", f_qual, state.qual, n_pos)
+    t_seq("qual modeling+update", f_qual, state.qual, (qsyms, lengths))
 
 
 if __name__ == "__main__":

@@ -41,6 +41,11 @@ VARIANTS = {
     "fast3": {"dna_claim_rounds": 0, "dna_local_lite": 1},
     "fast3r2": {"dna_claim_rounds": 0, "dna_local_lite": 1,
                 "dna_repair_iters": 2},
+    # batch geometry (sync interval / lane count)
+    "batch8k": {"max_batch_reads": 8192},
+    "lanes2k": {"n_lanes": 2048},
+    "lanes2k8k": {"n_lanes": 2048, "max_batch_reads": 8192},
+    "repair1f": {"dna_repair_iters": 1},
 }
 
 
