@@ -113,6 +113,75 @@ def pack_windows_rc(kcodes: jax.Array, k: int):
     return lo, hi
 
 
+# ---------------------------------------------------------------------------
+# (lo, hi) 64-bit pair micro-ops for canonical-strand keys
+# ---------------------------------------------------------------------------
+# The canonical k-mer table (tables.ktable_*) keys cells by the FULL k-mer in
+# canonical orientation, with the strand decided by the middle k-2 bases — the
+# TPU analog of the reference's kernel canonicalization (kmer.h:199-207,
+# KMER_MARGIN_2_SYMBOLS), which lets one stored entry serve both strands while
+# the variable end letter stays addressable. These helpers build the canonical
+# keys from the (context, rc-context) windows both the batch encoder and the
+# decoder's rolling registers already maintain.
+
+def shl2(lo: jax.Array, hi: jax.Array):
+    """(lo, hi) << 2 (one base)."""
+    return lo << 2, (hi << 2) | (lo >> 30)
+
+
+def shr2(lo: jax.Array, hi: jax.Array):
+    """(lo, hi) >> 2 (one base)."""
+    return (lo >> 2) | (hi << 30), hi >> 2
+
+
+def mask_low(lo: jax.Array, hi: jax.Array, n_bases: int):
+    """Keep the low n_bases bases (the LATEST bases — windows pack the
+    earliest base in the most significant bits)."""
+    bits = 2 * n_bases
+    if bits >= 64:
+        return lo, hi
+    if bits >= 32:
+        return lo, hi & jnp.uint32((1 << (bits - 32)) - 1)
+    return lo & jnp.uint32((1 << bits) - 1), jnp.zeros_like(hi)
+
+
+def or_top_base(lo: jax.Array, hi: jax.Array, base, k_bases: int):
+    """OR a 2-bit base into the top (earliest) slot of a k_bases-wide window."""
+    off = 2 * (k_bases - 1)
+    b = base.astype(jnp.uint32) if hasattr(base, "astype") else jnp.uint32(base)
+    if off >= 32:
+        return lo, hi | (b << (off - 32))
+    return lo | (b << off), hi
+
+
+def less64(alo, ahi, blo, bhi):
+    """(alo, ahi) < (blo, bhi) as unsigned 64-bit values."""
+    return (ahi < bhi) | ((ahi == bhi) & (alo < blo))
+
+
+def top_base(lo: jax.Array, hi: jax.Array, n_bases: int) -> jax.Array:
+    """The earliest (most significant) base of an n_bases-wide window."""
+    off = 2 * (n_bases - 1)
+    v = hi >> (off - 32) if off >= 32 else lo >> off
+    return (v & 3).astype(jnp.int32)
+
+
+def canon_strand(c_lo, c_hi, r_lo, r_hi, k: int):
+    """Strand decision for the width-k canonical table given the (k-1)-base
+    context c = K[0:k-1] and its reverse complement rc(c).
+
+    The decision key is the middle w = K[1:k-1] (k-2 bases, excluding the
+    FIRST letter and the variable LAST letter), so it is (a) computable by a
+    query that does not know the last letter, (b) identical for all 4
+    next-base candidates, and (c) strand-symmetric: the mirror query (the
+    same physical k-mer read on the other strand) sees rc(w) and flips.
+    Returns (use_rc bool, mid_lo, mid_hi) with mid = min(w, rc(w))."""
+    w_lo, w_hi = mask_low(c_lo, c_hi, k - 2)
+    rw_lo, rw_hi = mask_low(*shr2(r_lo, r_hi), k - 2)
+    s = less64(rw_lo, rw_hi, w_lo, w_hi)
+    return s, jnp.where(s, rw_lo, w_lo), jnp.where(s, rw_hi, w_hi)
+
+
 # 32-bit mixing constants (from murmur3/xxhash finalizers — standard constants).
 _C1 = jnp.uint32(0x9E3779B1)
 _C2 = jnp.uint32(0x85EBCA77)
@@ -139,3 +208,17 @@ def hash_tag(lo: jax.Array, hi: jax.Array) -> jax.Array:
     t = t * _C1
     t = t ^ (t >> 11)
     return t | jnp.uint32(0x80000000)
+
+
+_GROW_MASK = jnp.uint32(0xF << 23)   # tag bits [23, 27): table-growth bits
+
+
+def ktag(k_lo, k_hi, m_lo, m_hi) -> jax.Array:
+    """Cell tag of a canonical full k-mer (k_lo, k_hi) whose canonical middle
+    is (m_lo, m_hi). Bits [23, 27) come from the MIDDLE hash: tables.bucket_of
+    derives post-growth bucket bits from stored tags, and all 4 next-base
+    candidates of a query share the middle — so they stay co-bucketed after
+    every regrow and a 4-way find stays ONE row gather."""
+    t = hash_tag(k_lo, k_hi)
+    g = hash_bucket(m_lo ^ _C2, m_hi ^ _C4, 4)   # independent mid-derived bits
+    return (t & ~_GROW_MASK) | (g.astype(jnp.uint32) << 23)

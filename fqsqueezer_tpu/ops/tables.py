@@ -329,6 +329,138 @@ def table_update(tc: jax.Array, lo: jax.Array, hi: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# KTable: canonical-k-mer cells (one cell per canonical k-mer)
+# ---------------------------------------------------------------------------
+# The strand-canonical redesign of CountTable (round 3): instead of
+# context-keyed cells holding 4 next-base counts fed by BOTH strand events,
+# cells hold ONE saturating u8 counter per canonical full k-mer — the TPU
+# analog of the reference's kernel-canonicalized CHT_kmer cells
+# (/root/reference/fqs/kmer.h:199-207, ht_kmer.h:205-263): one insert event
+# per k-mer occurrence covers both strands, HALVING the scatter-engine event
+# count of the table-update passes (the largest block of the encode profile).
+#
+# Geometry that keeps the 4-way next-base query at ONE row gather:
+#   * bucket  = hash(canonical middle K[1:k-1]) — identical for all 4
+#     next-base candidates of a query AND for the mirror query from the other
+#     strand (kmers.canon_strand);
+#   * cell tag = kmers.ktag(canonical K, middle) — unique per k-mer, with the
+#     table-growth bits [23, 27) derived from the MIDDLE hash so the 4
+#     candidates stay co-bucketed after every regrow;
+#   * row = [BUCKET tags | BUCKET/4 u8x4-packed count words].
+# A find gathers one row and matches the 8 stored tags against the 4
+# candidate tags; counts land per candidate. Palindromic-middle k-mers
+# (probability 4^-(k-2)/2) lose only the cross-strand half of their
+# statistics — both sides compute the same rule, so round-trips stay exact.
+
+KW = BUCKET + BUCKET // 4   # row width: 8 tags + 2 packed count words
+
+
+def ktable_create(log2_buckets: int):
+    return jnp.zeros((1 << log2_buckets, KW), dtype=jnp.uint32)
+
+
+def kbucket_of(tag: jax.Array, bkt_base: jax.Array, log2_buckets: int,
+               log2_base: int):
+    """Bucket of a key in a table grown from 2^log2_base to 2^log2_buckets:
+    base bits from the middle hash, growth bits from tag bits [23, 27)
+    (mid-derived, see kmers.ktag) — same rule the grow step applies to
+    stored cells, so lookups keep finding them."""
+    grow = log2_buckets - log2_base
+    if grow <= 0:
+        return bkt_base
+    ext = ((tag >> 23) & jnp.uint32((1 << grow) - 1)).astype(jnp.int32)
+    return bkt_base | (ext << log2_base)
+
+
+def ktable_find(tc: jax.Array, bkt: jax.Array, tags4: jax.Array,
+                log2_base: int = -1):
+    """4-way next-base query. bkt: [...] base bucket indices (middle hash at
+    CREATION size), tags4: [..., 4] candidate cell tags.
+    Returns ([..., 4] int32 counts, [...] bool found) — ONE row gather."""
+    log2_buckets = tc.shape[0].bit_length() - 1
+    if log2_base < 0:
+        log2_base = log2_buckets
+    b = kbucket_of(tags4[..., 0], bkt, log2_buckets, log2_base)
+    row = tc[b]                                     # [..., KW]
+    tags_r = row[..., :BUCKET]
+    match = tags_r[..., None, :] == tags4[..., :, None]   # [..., 4, BUCKET]
+    cnt8 = unpack_counts(row[..., BUCKET:]).reshape(
+        row.shape[:-1] + (BUCKET,))
+    counts = jnp.sum(jnp.where(match, cnt8[..., None, :], 0), axis=-1)
+    found = jnp.any(match, axis=(-2, -1))
+    return counts, found
+
+
+def ktable_update(tc: jax.Array, bkt: jax.Array, tag: jax.Array,
+                  valid: jax.Array, log2_base: int = -1):
+    """Batch-insert/increment canonical k-mer events (fused 3-pass protocol,
+    see table_update rounds==0 for the full rationale): one row gather serves
+    probe + claim decision, one scatter-max claims tags, one scatter
+    accumulates u8 count deltas. bkt/tag/valid: [n] flat."""
+    n_buckets = tc.shape[0]
+    log2_buckets = n_buckets.bit_length() - 1
+    if log2_base < 0:
+        log2_base = log2_buckets
+    bkt = kbucket_of(tag, bkt, log2_buckets, log2_base)
+    spread = jnp.arange(tag.shape[0], dtype=jnp.int32) & (n_buckets - 1)
+    bkt = jnp.where(valid, bkt, spread)
+
+    weights = (jnp.int32(1) << jnp.arange(BUCKET, dtype=jnp.int32))[None, :]
+    row = tc[bkt]
+    tags_r = row[:, :BUCKET]
+    match = tags_r == tag[:, None]
+    found = jnp.any(match, axis=1) & valid
+    cell = jnp.argmax(match, axis=1)
+    bm = jnp.sum(jnp.where(tags_r == EMPTY, weights, 0), axis=1)
+    want = valid & ~found & (bm > 0)
+    j = (tag >> 13).astype(jnp.int32) & (BUCKET - 1)
+    rot = ((bm >> j) | (bm << (BUCKET - j))) & ((1 << BUCKET) - 1)
+    slot = (j + _ctz(rot)) & (BUCKET - 1)
+    flat_claim = jnp.where(want, bkt * KW + slot, n_buckets * KW)
+    tc = tc.reshape(-1).at[flat_claim].max(tag, mode="drop").reshape(
+        n_buckets, KW)
+    dcell = jnp.where(found, cell, slot)
+    delta = _scatter_delta_u8(
+        n_buckets * (BUCKET // 4), bkt * (BUCKET // 4) + (dcell >> 2),
+        dcell, found | want)
+    drow = jnp.concatenate(
+        [jnp.zeros((n_buckets, BUCKET), jnp.uint32),
+         delta.reshape(n_buckets, BUCKET // 4)], axis=1)
+    return swar_sat_add_u8(tc, drow)
+
+
+def ktable_grow(tc: jax.Array, log2_base: int):
+    """Double the bucket count at a group boundary (see table_grow). Cells
+    move by their tag's mid-derived growth bit; each cell's count BYTE moves
+    with it (count words are repacked per destination)."""
+    n_buckets = tc.shape[0]
+    log2b = n_buckets.bit_length() - 1
+    tags = tc[:, :BUCKET]
+    cnt8 = unpack_counts(tc[:, BUCKET:]).reshape(n_buckets, BUCKET)
+    grow_bit = ((tags >> (23 + log2b - log2_base)) & 1).astype(jnp.int32)
+    new_bkt = jnp.arange(n_buckets, dtype=jnp.int32)[:, None] \
+        + grow_bit * n_buckets
+    slot = jnp.broadcast_to(jnp.arange(BUCKET, dtype=jnp.int32)[None, :],
+                            tags.shape)
+    live = tags != EMPTY
+    flat_t = jnp.where(live, new_bkt * KW + slot, 2 * n_buckets * KW)
+    new = jnp.zeros((2 * n_buckets * KW,), jnp.uint32)
+    new = new.at[flat_t.reshape(-1)].set(tags.reshape(-1), mode="drop")
+    # counts: each destination byte written by exactly one source cell, so a
+    # shifted scatter-ADD assembles the packed words exactly
+    flat_c = jnp.where(live, new_bkt * KW + BUCKET + (slot >> 2),
+                       2 * n_buckets * KW)
+    cval = cnt8.astype(jnp.uint32) << (8 * (slot & 3)).astype(jnp.uint32)
+    new = new.at[flat_c.reshape(-1)].add(cval.reshape(-1), mode="drop")
+    return new.reshape(2 * n_buckets, KW)
+
+
+def ktable_fill_stats(tc: jax.Array):
+    used = jnp.sum((tc[:, :BUCKET] != EMPTY).astype(jnp.int32))
+    return used, tc.shape[0] * BUCKET
+
+
+# ---------------------------------------------------------------------------
 # LocalTable: in-batch direct-addressed (tag, counts) cells
 # ---------------------------------------------------------------------------
 # TPU analog of the reference's per-thread local k-mer tables ht_smer_local /
@@ -403,6 +535,63 @@ def local_insert(tc: jax.Array, cell, tag, base, valid, row=0,
     cnt_idx = tag_idx + 1 + base
     flat = flat.at[jnp.where(ok, cnt_idx, C * LOCAL_W)].add(1, mode="drop")
     return flat.reshape(C, LOCAL_W)
+
+
+# ---------------------------------------------------------------------------
+# KLocal: canonical in-batch table — middle-keyed cells, 16 end-letter slots
+# ---------------------------------------------------------------------------
+# Canonical-strand redesign of LocalTable (used when DnaConfig.canon): a cell
+# is keyed by the canonical MIDDLE K[1:k-1] (shared by both strands and by
+# all 4 next-base candidates of a query) and holds 16 u16 counters indexed by
+# slot = 4*first + last (the two end letters in canonical orientation) —
+# (middle, first, last) determines the k-mer exactly, so the statistics are
+# per-k-mer-exact with ONE row gather per 4-way query and ONE insert event
+# per occurrence (vs 2 strands x more passes before). Counters are plain
+# u16 halves updated with scatter-adds; a (pathological) wraparound past
+# 65535 in-batch events is DETERMINISTIC and replayed identically by the
+# decoder, so round-trips stay exact regardless.
+
+KLOCAL_W = 9   # [stamped mid-tag, 8 u16x2-packed count words (16 slots)]
+
+
+def klocal_create(log2_cells: int):
+    return jnp.zeros((1 << log2_cells, KLOCAL_W), jnp.uint32)
+
+
+def klocal_query(tc: jax.Array, cell, tag, slots4, valid):
+    """[..., 4] int32 counts of the 4 next-base candidates (zeros on miss).
+    slots4: [..., 4] int32 slot indices from the canonical end letters."""
+    row = tc[cell]                                     # [..., KLOCAL_W]
+    hit = ((row[..., 0] & LOCAL_TAG_MASK) == tag) & valid
+    w = row[..., 1:]                                   # [..., 8]
+    cnt16 = jnp.stack([w & jnp.uint32(0xFFFF), w >> 16],
+                      axis=-1).reshape(w.shape[:-1] + (16,)).astype(jnp.int32)
+    c = jnp.take_along_axis(cnt16, slots4, axis=-1)
+    return jnp.where(hit[..., None], c, 0)
+
+
+def klocal_insert(tc: jax.Array, cell, tag, slot, valid, row=0,
+                  lite: bool = False):
+    """Insert canonical k-mer events; cell/tag/slot/valid: [n] flat.
+    Same stamped claim-by-scatter-max protocol as local_insert (earliest
+    read row wins the cell); lite=True skips the ownership gather."""
+    C = tc.shape[0]
+    flat = tc.reshape(-1)
+    row_inv = jnp.uint32(31) - jnp.minimum(
+        jnp.asarray(row).astype(jnp.uint32), jnp.uint32(31))
+    stamped = (row_inv << 27) | tag
+    tag_idx = cell * KLOCAL_W
+    flat = flat.at[jnp.where(valid, tag_idx, C * KLOCAL_W)].max(
+        stamped, mode="drop")
+    if lite:
+        ok = valid
+    else:
+        ok = valid & ((flat[tag_idx] & LOCAL_TAG_MASK) == tag)
+    cnt_idx = tag_idx + 1 + (slot >> 1)
+    inc = jnp.uint32(1) << ((slot & 1) << 4).astype(jnp.uint32)
+    flat = flat.at[jnp.where(ok, cnt_idx, C * KLOCAL_W)].add(
+        inc, mode="drop")
+    return flat.reshape(C, KLOCAL_W)
 
 
 # ---------------------------------------------------------------------------
@@ -524,6 +713,12 @@ class LocalBackend:
                      rounds=2):
         return table_update(tc, lo, hi, base, valid,
                             log2_base=log2_base, rounds=rounds)
+
+    def ktable_find(self, tc, bkt, tags4, log2_base=-1):
+        return ktable_find(tc, bkt, tags4, log2_base)
+
+    def ktable_update(self, tc, bkt, tag, valid, log2_base=-1):
+        return ktable_update(tc, bkt, tag, valid, log2_base)
 
 
 LOCAL = LocalBackend()

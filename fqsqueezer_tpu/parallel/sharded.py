@@ -100,6 +100,37 @@ class TpBackend:
                                    valid & own, bkt=idx, tag=tag,
                                    rounds=rounds)
 
+    # --- canonical k-mer tables (tables.ktable_*): the caller passes the
+    # GLOBAL base bucket (middle hash at global size); shards own contiguous
+    # bucket ranges like the legacy tables. Mesh tables are presized (never
+    # grown), so local log2_base stays the local size.
+    def _own_bucket(self, tc_local, bkt):
+        local_buckets = tc_local.shape[0]
+        my = jax.lax.axis_index(self.axis)
+        local = bkt - my * local_buckets
+        own = (local >= 0) & (local < local_buckets)
+        return jnp.clip(local, 0, local_buckets - 1), own
+
+    def ktable_find(self, tc_local, bkt, tags4, log2_base=-1):
+        idx, own = self._own_bucket(tc_local, bkt)
+        B = tables.BUCKET
+        row = tc_local[idx]
+        match = (row[..., None, :B] == tags4[..., :, None]) \
+            & own[..., None, None]
+        cnt8 = tables.unpack_counts(row[..., B:]).reshape(
+            row.shape[:-1] + (B,))
+        counts = jnp.sum(jnp.where(match, cnt8[..., None, :], 0), axis=-1)
+        counts = jax.lax.psum(counts, self.axis)
+        found = jax.lax.psum(
+            jnp.any(match, axis=(-2, -1)).astype(jnp.int32), self.axis) > 0
+        return counts, found
+
+    def ktable_update(self, tc_local, bkt, tag, valid, log2_base=-1):
+        idx, own = self._own_bucket(tc_local, bkt)
+        # re-spread non-owned events inside the local range (ktable_update
+        # spreads invalid events itself, but won't see the clip pile-up)
+        return tables.ktable_update(tc_local, idx, tag, valid & own)
+
 
 def state_specs(qual: bool, with_ids: bool = False, with_mix: bool = False):
     """PartitionSpecs for CodecState: tables sharded over tp, models replicated."""

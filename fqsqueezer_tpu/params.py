@@ -156,6 +156,12 @@ class Params:
     # 1,526,960 — longer contexts thin out repeat coverage faster than
     # they remove dense-array aliases).
     dna_siv_cap: int = _SIV_LEN_CAP
+    # canonical-strand s/b-mer tables (ops/tables.py ktable_*): cells keyed
+    # by the canonical FULL k-mer (reference kernel canonicalization,
+    # kmer.h:199-207) — one insert event per occurrence covers both strands,
+    # halving the table-update scatter traffic. Decode-affecting (cell
+    # layout + statistics); legacy archives decode with 0.
+    dna_canon: int = 1
 
     def adjust_kmer_sizes(self) -> None:
         """Auto-pick k-mer lengths from genome size (parity: params.h:131-155)."""
@@ -191,7 +197,7 @@ class Params:
         "dna_mix_w", "dna_mix_b", "dna_sorted_ctx",
         "dna_repair_iters", "dna_claim_rounds", "dna_local_rc",
         "dna_pmer_gate", "dna_siv_cap", "dna_prefix_ramp",
-        "dna_local_lite",
+        "dna_local_lite", "dna_canon",
     )
 
     # decode-affecting params whose absence in an archive header means the

@@ -46,6 +46,7 @@ def make_configs(p: Params):
         bmer_log2_buckets=p.bmer_log2_buckets,
         local_log2_cells=p.local_log2_cells,
         local_model_inc=p.local_model_inc,
+        canon=p.dna_canon > 0,
         mix_w=p.dna_mix_w, mix_b=p.dna_mix_b,
         repair_iters=p.dna_repair_iters,
         claim_rounds=p.dna_claim_rounds,
@@ -314,19 +315,21 @@ def grow_tables(dcfg, dna_state, verbosity: int = 0):
     from .ops import tables as _t
 
     new = dna_state
+    fill_fn = _t.ktable_fill_stats if dcfg.canon else _t.table_fill_stats
+    grow_fn = _t.ktable_grow if dcfg.canon else _t.table_grow
     for pre, base in (("s", dcfg.smer_log2_buckets),
                       ("b", dcfg.bmer_log2_buckets)):
         tc = getattr(new, pre + "_tc")
         cur = tc.shape[0].bit_length() - 1
         if cur - base >= GROW_MAX_DOUBLINGS and verbosity < 2:
             continue     # maxed out: skip the blocking fill-factor pull
-        used, cap = _t.table_fill_stats(tc)
+        used, cap = fill_fn(tc)
         used = int(used)
         if verbosity >= 2:
             print(f"  {pre}mer fill: {used}/{cap} ({used / cap:.3f})"
                   f" [2^{cur} buckets]")
         if cur - base < GROW_MAX_DOUBLINGS and used * GROW_DEN > cap * GROW_NUM:
-            new = new._replace(**{pre + "_tc": _t.table_grow(tc, base)})
+            new = new._replace(**{pre + "_tc": grow_fn(tc, base)})
             if verbosity >= 1:
                 print(f"  {pre}mer table grown to 2^{cur + 1} buckets "
                       f"(fill {used / cap:.2f})")

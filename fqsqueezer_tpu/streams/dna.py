@@ -146,6 +146,12 @@ class DnaConfig:
     # (find_counts_p, dna.cpp:210-226; bit_vec.h test_shorter). Those
     # positions otherwise code pure letters at the 2-bit floor.
     prefix_ramp: bool = False
+    # canonical-strand s/b-mer tables (tables.ktable_*): one insert event
+    # per k-mer occurrence covers both strands (the reference's kernel
+    # canonicalization, kmer.h:199-207) — halves the table-update event
+    # count, the largest block of the encode profile. Decode-affecting
+    # (cell layout + statistics), stored in the archive header.
+    canon: bool = False
 
 
 class DnaState(NamedTuple):
@@ -166,10 +172,11 @@ def dna_state_create(cfg: DnaConfig) -> DnaState:
 
         pe_state = tables.pair_create(cfg.pe_log2_buckets) + (
             models.model_create(_pe.PE_N_CTX, _pe.PE_N_SYM),)
+    mk = tables.ktable_create if cfg.canon else tables.table_create
     return DnaState(
         siv=tables.siv_create(cfg.siv_len),
-        s_tc=tables.table_create(cfg.smer_log2_buckets),
-        b_tc=tables.table_create(cfg.bmer_log2_buckets),
+        s_tc=mk(cfg.smer_log2_buckets),
+        b_tc=mk(cfg.bmer_log2_buckets),
         model=models.model_create(N_MODEL_CTX, A_SYM),
         pe=pe_state,
         cmodel=(models.model_create(N_COARSE_CTX, A_SYM)
@@ -224,6 +231,58 @@ def _cascade_parts(state: DnaState, pm_ctx, s_lo, s_hi, b_lo, b_hi, vp, vs, vb,
     cp = be.siv_find(state.siv, pm_ctx)
     cs, fs = be.table_find(state.s_tc, s_lo, s_hi, s_log2b)
     cb, fb = be.table_find(state.b_tc, b_lo, b_hi, b_log2b)
+    fp = vp & (jnp.sum(cp, axis=-1) > 0)
+    return cp, cs, cb, fp, fs & vs, fb & vb
+
+
+def _canon_query(c_lo, c_hi, r_lo, r_hi, k: int, log2_cells: int):
+    """Canonical 4-candidate query keys for the width-k k-mer table
+    (tables.ktable_find). c = fwd context K[0:k-1] (packed, earliest base
+    most significant), r = rc(c). Returns (bkt [...], tags4 [..., 4],
+    strand [...], mid_lo, mid_hi, c0 [...]) — the tail fields let the
+    in-batch local table derive its own keys without recomputing the
+    canonical strand (see _klocal_slots)."""
+    s, m_lo, m_hi = kmers.canon_strand(c_lo, c_hi, r_lo, r_hi, k)
+    bkt = kmers.hash_bucket(m_lo, m_hi, log2_cells)
+    f0_lo, f0_hi = kmers.shl2(c_lo, c_hi)
+    tags = []
+    for b in range(4):
+        rl, rh = kmers.or_top_base(r_lo, r_hi, 3 - b, k)
+        tags.append(kmers.ktag(jnp.where(s, rl, f0_lo | jnp.uint32(b)),
+                               jnp.where(s, rh, f0_hi), m_lo, m_hi))
+    c0 = kmers.top_base(c_lo, c_hi, k - 1)
+    return bkt, jnp.stack(tags, axis=-1), s, m_lo, m_hi, c0
+
+
+def _klocal_slots(s, c0):
+    """[..., 4] canonical (first, last)-letter slots of the 4 next-base
+    candidates: slot = 4*first + last with (first, last) = (c0, b) on the
+    fwd strand and (3-b, 3-c0) on the rc strand."""
+    b4 = jnp.arange(4, dtype=jnp.int32)
+    return jnp.where(s[..., None], 4 * (3 - b4) + (3 - c0)[..., None],
+                     4 * c0[..., None] + b4)
+
+
+def _canon_insert(c_lo, c_hi, r_lo, r_hi, base, k: int, log2_cells: int):
+    """(bkt, tag) of the canonical full k-mer c·base — ONE event per
+    occurrence covers both strands (reference kernel canonicalization)."""
+    s, m_lo, m_hi = kmers.canon_strand(c_lo, c_hi, r_lo, r_hi, k)
+    bkt = kmers.hash_bucket(m_lo, m_hi, log2_cells)
+    b = base.astype(jnp.uint32)
+    f_lo, f_hi = kmers.shl2(c_lo, c_hi)
+    f_lo = f_lo | b
+    rl, rh = kmers.or_top_base(r_lo, r_hi, jnp.uint32(3) - b, k)
+    return bkt, kmers.ktag(jnp.where(s, rl, f_lo), jnp.where(s, rh, f_hi),
+                           m_lo, m_hi)
+
+
+def _cascade_parts_k(state: DnaState, pm_ctx, s_q, b_q, vp, vs, vb,
+                     be=tables.LOCAL, s_log2b=-1, b_log2b=-1):
+    """_cascade_parts over canonical k-mer tables: s_q/b_q from
+    _canon_query (only the (bkt, tags4) head is used here)."""
+    cp = be.siv_find(state.siv, pm_ctx)
+    cs, fs = be.ktable_find(state.s_tc, s_q[0], s_q[1], s_log2b)
+    cb, fb = be.ktable_find(state.b_tc, b_q[0], b_q[1], b_log2b)
     fp = vp & (jnp.sum(cp, axis=-1) > 0)
     return cp, cs, cb, fp, fs & vs, fb & vb
 
@@ -391,6 +450,15 @@ def _window_parts(cfg, state, kcodes, lengths, be=tables.LOCAL,
     s_lo, s_hi = kmers.shift_right(s_lo, 1), kmers.shift_right(s_hi, 1)
     b_lo, b_hi = kmers.pack_windows(kcodes, cfg.bmer_len - 1)
     b_lo, b_hi = kmers.shift_right(b_lo, 1), kmers.shift_right(b_hi, 1)
+    if cfg.canon:
+        rs = kmers.pack_windows_rc(kcodes, cfg.smer_len - 1)
+        rb = kmers.pack_windows_rc(kcodes, cfg.bmer_len - 1)
+        s_q = _canon_query(s_lo, s_hi, kmers.shift_right(rs[0], 1),
+                           kmers.shift_right(rs[1], 1), cfg.smer_len,
+                           cfg.smer_log2_buckets)
+        b_q = _canon_query(b_lo, b_hi, kmers.shift_right(rb[0], 1),
+                           kmers.shift_right(rb[1], 1), cfg.bmer_len,
+                           cfg.bmer_log2_buckets)
 
     vp = pos >= cfg.siv_len - 1
     if cfg.pmer_gate > 0:
@@ -401,9 +469,14 @@ def _window_parts(cfg, state, kcodes, lengths, be=tables.LOCAL,
         pm = kmers.shift_right(
             kmers.pack_windows(kcodes, cfg.siv_len - 1)[0], 1)
         pm = (pm & jnp.uint32(4 ** (cfg.siv_len - 1) - 1)).astype(jnp.int32)
-        parts = _cascade_parts(
-            state, pm, s_lo, s_hi, b_lo, b_hi, vp, vs, vb, be,
-            cfg.smer_log2_buckets, cfg.bmer_log2_buckets)
+        if cfg.canon:
+            parts = _cascade_parts_k(
+                state, pm, s_q, b_q, vp, vs, vb, be,
+                cfg.smer_log2_buckets, cfg.bmer_log2_buckets)
+        else:
+            parts = _cascade_parts(
+                state, pm, s_lo, s_hi, b_lo, b_hi, vp, vs, vb, be,
+                cfg.smer_log2_buckets, cfg.bmer_log2_buckets)
         if cfg.prefix_ramp:
             cp, cs, cb, fp, fs, fb = parts
             for q in _ramp_cols(cfg):
@@ -413,8 +486,16 @@ def _window_parts(cfg, state, kcodes, lengths, be=tables.LOCAL,
                 fp = fp.at[:, q].set(fp[:, q] | ok)
             parts = (cp, cs, cb, fp, fs, fb)
     else:
-        cs, fs = be.table_find(state.s_tc, s_lo, s_hi, cfg.smer_log2_buckets)
-        cb, fb = be.table_find(state.b_tc, b_lo, b_hi, cfg.bmer_log2_buckets)
+        if cfg.canon:
+            cs, fs = be.ktable_find(state.s_tc, s_q[0], s_q[1],
+                                    cfg.smer_log2_buckets)
+            cb, fb = be.ktable_find(state.b_tc, b_q[0], b_q[1],
+                                    cfg.bmer_log2_buckets)
+        else:
+            cs, fs = be.table_find(state.s_tc, s_lo, s_hi,
+                                   cfg.smer_log2_buckets)
+            cb, fb = be.table_find(state.b_tc, b_lo, b_hi,
+                                   cfg.bmer_log2_buckets)
         cp = jnp.zeros_like(cs)
         fp = jnp.zeros_like(vp & active)
         parts = (cp, cs, cb, fp, fs & vs, fb & vb)
@@ -457,6 +538,22 @@ def _row_query_keys(cfg, eff_row, len_row, k):
     return cell, tag, valid
 
 
+def _row_canon_query(cfg, eff_row, len_row, k):
+    """Canonical-local variant of _row_query_keys: (cell, tag, slots4,
+    valid) keys for tables.klocal_query."""
+    L = eff_row.shape[1]
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    lo, hi = kmers.pack_windows(eff_row, k - 1)
+    lo, hi = kmers.shift_right(lo, 1), kmers.shift_right(hi, 1)
+    rlo, rhi = kmers.pack_windows_rc(eff_row, k - 1)
+    rlo, rhi = kmers.shift_right(rlo, 1), kmers.shift_right(rhi, 1)
+    s, m_lo, m_hi = kmers.canon_strand(lo, hi, rlo, rhi, k)
+    cell, tag = tables.local_keys(m_lo, m_hi, cfg.local_log2_cells)
+    slots = _klocal_slots(s, kmers.top_base(lo, hi, k - 1))
+    valid = (pos >= k - 1) & (pos < len_row[:, None])
+    return cell, tag, slots, valid
+
+
 def local_row_update(cfg, ls, lb, lm, eff_row, ctx_row, sym_row, act_row,
                      len_row, row=0):
     """Apply one read row's events to the in-batch local state — shared
@@ -478,8 +575,23 @@ def local_row_update(cfg, ls, lb, lm, eff_row, ctx_row, sym_row, act_row,
         lo, hi = kmers.pack_windows(eff_row, w)
         lo = kmers.shift_right(lo, 1)[:, c0:]
         hi = kmers.shift_right(hi, 1)[:, c0:]
-        cf, tf = tables.local_keys(lo, hi, m)
         v = in_len[:, c0:].reshape(-1)
+        if cfg.canon:
+            # ONE canonical event per k-mer occurrence into the
+            # middle-keyed (first, last)-slot cells (tables.klocal_*)
+            rlo, rhi = kmers.pack_windows_rc(eff_row, w)
+            rlo = kmers.shift_right(rlo, 1)[:, c0:]
+            rhi = kmers.shift_right(rhi, 1)[:, c0:]
+            s, m_lo, m_hi = kmers.canon_strand(lo, hi, rlo, rhi, k)
+            cell, tag = tables.local_keys(m_lo, m_hi, m)
+            cb0 = kmers.top_base(lo, hi, w)
+            base = eff_row[:, c0:]
+            slot = jnp.where(s, 4 * (3 - base) + (3 - cb0),
+                             4 * cb0 + base)
+            return tables.klocal_insert(
+                tbl, cell.reshape(-1), tag.reshape(-1), slot.reshape(-1),
+                v, row=row, lite=cfg.local_lite)
+        cf, tf = tables.local_keys(lo, hi, m)
         cells, tags_, bases, vs_ = (cf.reshape(-1), tf.reshape(-1),
                                     eff_row[:, c0:].reshape(-1), v)
         if cfg.local_rc:
@@ -516,8 +628,8 @@ def _dna_cdf(cfg, state: DnaState, lm, ctx, sb):
 
 def _local_state_create(cfg):
     lm_shape = (N_MODEL_CTX, A_SYM) if cfg.local_model_inc > 0 else (1, 1)
-    return (tables.local_create(cfg.local_log2_cells),
-            tables.local_create(cfg.local_log2_cells),
+    mk = tables.klocal_create if cfg.canon else tables.local_create
+    return (mk(cfg.local_log2_cells), mk(cfg.local_log2_cells),
             jnp.zeros(lm_shape, jnp.int32))
 
 
@@ -632,10 +744,18 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
     def row_step(carry, x):
         ls, lb, lm = carry
         codes_r, eff_r, parts_r, cact_r, pb_r, let_r, len_r, rd = x
-        s_cell, s_tag, s_v = _row_query_keys(cfg, eff_r, len_r, cfg.smer_len)
-        b_cell, b_tag, b_v = _row_query_keys(cfg, eff_r, len_r, cfg.bmer_len)
-        cs_l = tables.local_query(ls, s_cell, s_tag, s_v)
-        cb_l = tables.local_query(lb, b_cell, b_tag, b_v)
+        if cfg.canon:
+            cs_l = tables.klocal_query(
+                ls, *_row_canon_query(cfg, eff_r, len_r, cfg.smer_len))
+            cb_l = tables.klocal_query(
+                lb, *_row_canon_query(cfg, eff_r, len_r, cfg.bmer_len))
+        else:
+            s_cell, s_tag, s_v = _row_query_keys(cfg, eff_r, len_r,
+                                                 cfg.smer_len)
+            b_cell, b_tag, b_v = _row_query_keys(cfg, eff_r, len_r,
+                                                 cfg.bmer_len)
+            cs_l = tables.local_query(ls, s_cell, s_tag, s_v)
+            cb_l = tables.local_query(lb, b_cell, b_tag, b_v)
         counts, level = _cascade_combine(*_merge_local(parts_r, cs_l, cb_l))
         ctx_r, sym_r = _ctx_sym_from_counts(
             cfg, counts, level, codes_r, cact_r, pb_r, let_r, pos)
@@ -736,11 +856,20 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
         ctx_lo, ctx_hi = kmers.pack_windows(kcodes, k - 1)
         ctx_lo = kmers.shift_right(ctx_lo, 1)[:, c0:]
         ctx_hi = kmers.shift_right(ctx_hi, 1)[:, c0:]
+        fwd_base = kcodes[:, c0:]
+        vk = active[:, c0:]
+        if cfg.canon:
+            # ONE canonical event per k-mer occurrence (both strands)
+            r_lo, r_hi = kmers.pack_windows_rc(kcodes, k - 1)
+            r_lo = kmers.shift_right(r_lo, 1)[:, c0:]
+            r_hi = kmers.shift_right(r_hi, 1)[:, c0:]
+            bkt, tag = _canon_insert(ctx_lo, ctx_hi, r_lo, r_hi, fwd_base,
+                                     k, log2b)
+            return be.ktable_update(tc, bkt.reshape(-1), tag.reshape(-1),
+                                    vk.reshape(-1), log2_base=log2b)
         rc_lo, rc_hi = kmers.pack_windows_rc(kcodes, k - 1)
         rc_lo, rc_hi = rc_lo[:, c0:], rc_hi[:, c0:]
         rc_base = (3 - kmers.shift_right(kcodes, k - 1))[:, c0:]
-        fwd_base = kcodes[:, c0:]
-        vk = active[:, c0:]
         lo = jnp.concatenate([ctx_lo.reshape(-1), rc_lo.reshape(-1)])
         hi = jnp.concatenate([ctx_hi.reshape(-1), rc_hi.reshape(-1)])
         base = jnp.concatenate([fwd_base.reshape(-1), rc_base.reshape(-1)])
@@ -873,7 +1002,8 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
     b_mlo, b_mhi = key_mask(b_w)
 
     def outer(carry, rd):
-        (x, ptr, pkey, slo, shi, blo, bhi, prev_rows, loc, pe_c) = carry
+        (x, ptr, pkey, slo, shi, blo, bhi, rregs, prev_rows, loc,
+         pe_c) = carry
         if with_pe:
             (pe_x, pe_ptr, anc_lo, anc_hi, anc_start, anc_has,
              lenA, lenB) = pe_c
@@ -904,7 +1034,7 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             src_row = jnp.zeros((N, 1), jnp.int32)
 
         def inner(c2, i):
-            (x, ptr, pkey, slo, shi, blo, bhi, lh, rh, rep_cnt) = c2
+            (x, ptr, pkey, slo, shi, blo, bhi, rregs, lh, rh, rep_cnt) = c2
             active = i < length
             in_prefix = active & (i < my_lcp) if with_lcp \
                 else jnp.zeros_like(active)
@@ -929,10 +1059,21 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             vb = jnp.broadcast_to((i >= b_w) & active, x.shape)
             s_ctx = (slo & s_mlo, shi & s_mhi)
             b_ctx = (blo & b_mlo, bhi & b_mhi)
-            parts = _cascade_parts(
-                state, (pkey & pm_mask).astype(jnp.int32),
-                s_ctx[0], s_ctx[1], b_ctx[0], b_ctx[1], vp, vs, vb, be,
-                cfg.smer_log2_buckets, cfg.bmer_log2_buckets)
+            if cfg.canon:
+                rslo, rshi, rblo, rbhi = rregs
+                s_q = _canon_query(s_ctx[0], s_ctx[1], rslo, rshi,
+                                   cfg.smer_len, cfg.smer_log2_buckets)
+                b_q = _canon_query(b_ctx[0], b_ctx[1], rblo, rbhi,
+                                   cfg.bmer_len, cfg.bmer_log2_buckets)
+                parts = _cascade_parts_k(
+                    state, (pkey & pm_mask).astype(jnp.int32),
+                    s_q, b_q, vp, vs, vb, be,
+                    cfg.smer_log2_buckets, cfg.bmer_log2_buckets)
+            else:
+                parts = _cascade_parts(
+                    state, (pkey & pm_mask).astype(jnp.int32),
+                    s_ctx[0], s_ctx[1], b_ctx[0], b_ctx[1], vp, vs, vb, be,
+                    cfg.smer_log2_buckets, cfg.bmer_log2_buckets)
             if cfg.prefix_ramp:
                 # partial-prefix SIV evidence where no full window exists
                 # yet (mirror of the _window_parts injection; pkey's low 2i
@@ -953,10 +1094,18 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             counts_g, level_g = _cascade_combine(*parts)
             if with_local:
                 ls, lb, lm = loc
-                s_cell, s_tag = tables.local_keys(s_ctx[0], s_ctx[1], m)
-                b_cell, b_tag = tables.local_keys(b_ctx[0], b_ctx[1], m)
-                cs_l = tables.local_query(ls, s_cell, s_tag, vs)
-                cb_l = tables.local_query(lb, b_cell, b_tag, vb)
+                if cfg.canon:
+                    sc, st_ = tables.local_keys(s_q[3], s_q[4], m)
+                    bc, bt_ = tables.local_keys(b_q[3], b_q[4], m)
+                    cs_l = tables.klocal_query(
+                        ls, sc, st_, _klocal_slots(s_q[2], s_q[5]), vs)
+                    cb_l = tables.klocal_query(
+                        lb, bc, bt_, _klocal_slots(b_q[2], b_q[5]), vb)
+                else:
+                    s_cell, s_tag = tables.local_keys(s_ctx[0], s_ctx[1], m)
+                    b_cell, b_tag = tables.local_keys(b_ctx[0], b_ctx[1], m)
+                    cs_l = tables.local_query(ls, s_cell, s_tag, vs)
+                    cb_l = tables.local_query(lb, b_cell, b_tag, vb)
                 counts, level = _cascade_combine(
                     *_merge_local(parts, cs_l, cb_l))
             else:
@@ -1002,17 +1151,27 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             slo = ((slo << 2) | kc) & s_mlo
             bhi = ((bhi << 2) | (blo >> 30)) & b_mhi
             blo = ((blo << 2) | kc) & b_mlo
+            if cfg.canon:
+                comp = jnp.uint32(3) - kc
+                rslo, rshi = kmers.or_top_base(
+                    *kmers.shr2(rslo, rshi), comp, s_w)
+                rblo, rbhi = kmers.or_top_base(
+                    *kmers.shr2(rblo, rbhi), comp, b_w)
+                rregs2 = (rslo, rshi, rblo, rbhi)
+            else:
+                rregs2 = rregs
             lh = ((lh << 3) | base) & LH_MASK
             rbit = (use_code & (sym > 0) & coded).astype(jnp.int32)
             rh = ((rh << 1) | rbit) & 0xF
 
             ys = (base, kc.astype(jnp.int32), ctx_all, sym, in_anchor)
-            return (x, ptr, pkey, slo, shi, blo, bhi, lh, rh, rep_cnt), ys
+            return (x, ptr, pkey, slo, shi, blo, bhi, rregs2, lh, rh,
+                    rep_cnt), ys
 
         zeros_i = jnp.zeros((N,), jnp.int32)
-        inner0 = (x, ptr, pkey, slo, shi, blo, bhi,
+        inner0 = (x, ptr, pkey, slo, shi, blo, bhi, rregs,
                   jnp.full((N,), LH_RESET, jnp.int32), zeros_i, zeros_i)
-        (x, ptr, pkey, slo, shi, blo, bhi, _, _, _), ys = jax.lax.scan(
+        (x, ptr, pkey, slo, shi, blo, bhi, rregs, _, _, _), ys = jax.lax.scan(
             inner, inner0, jnp.arange(L, dtype=jnp.int32),
             unroll=min(DECODE_UNROLL, L))
         base_r = ys[0].T                       # [L, N] -> [N, L]
@@ -1085,7 +1244,7 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             pe_meta_row = jnp.stack(
                 [a_eff, new_has.astype(jnp.int32)], axis=-1)
 
-        return (x, ptr, pkey, slo, shi, blo, bhi, prev_rows,
+        return (x, ptr, pkey, slo, shi, blo, bhi, rregs, prev_rows,
                 loc, pe_c), (base_r, eff_r, ctx_r, sym_r, anch_r,
                              pe_syms_row, pe_act_row, pe_meta_row, length)
 
@@ -1098,8 +1257,9 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
     pe_c0 = ((pe_states, jnp.int32(0), zeros_u, zeros_u, zeros_i0,
               jnp.zeros((N,), bool), zeros_i0, zeros_i0)
              if with_pe else ())
+    rregs0 = ((zeros_u, zeros_u, zeros_u, zeros_u) if cfg.canon else ())
     carry0 = (init_states, jnp.int32(0), zeros_u, zeros_u, zeros_u,
-              zeros_u, zeros_u, prev0, loc0, pe_c0)
+              zeros_u, zeros_u, rregs0, prev0, loc0, pe_c0)
     carry, ys = jax.lax.scan(outer, carry0, jnp.arange(n_rows, dtype=jnp.int32))
     x, ptr = carry[0], carry[1]
 
