@@ -1285,7 +1285,7 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
         has_pairs = pe_meta[:, 1] > 0
         codes_true = _pe.collapse_pe_rows(codes, lengths, a_pairs,
                                           has_pairs, B_anch)
-        pe_extra = (carry[9][0],)              # final PE lane states
+        pe_extra = (carry[-1][0],)             # final PE lane states (pe_c.x)
         extras = (eff, ctx_all, sym, code_active) + pe_extra
         if apply_update:
             new_state = dna_collect_updates(

@@ -173,23 +173,48 @@ def main():
         valid = jnp.concatenate([vk.reshape(-1), vk.reshape(-1)])
         return lo, hi, base, valid
 
-    s_ev = mk_events(dcfg.smer_len)
-    b_ev = mk_events(dcfg.bmer_len)
+    if dcfg.canon:
+        def mk_kevents(k, log2b):
+            c0 = k - 1
+            ctx_lo, ctx_hi = kmers.pack_windows(kcodes, k - 1)
+            ctx_lo = kmers.shift_right(ctx_lo, 1)[:, c0:]
+            ctx_hi = kmers.shift_right(ctx_hi, 1)[:, c0:]
+            fwd_base = kcodes[:, c0:]
+            vk = active[:, c0:]
+            r_lo, r_hi = kmers.pack_windows_rc(kcodes, k - 1)
+            r_lo = kmers.shift_right(r_lo, 1)[:, c0:]
+            r_hi = kmers.shift_right(r_hi, 1)[:, c0:]
+            bkt, tag = dna._canon_insert(ctx_lo, ctx_hi, r_lo, r_hi,
+                                         fwd_base, k, log2b)
+            return bkt.reshape(-1), tag.reshape(-1), vk.reshape(-1)
 
-    def f_stc(s):
-        return tables.table_update(s, *s_ev, log2_base=dcfg.smer_log2_buckets,
-                                   rounds=dcfg.claim_rounds)
-    t_chain("s table_update (820k ev, full)", f_stc, st.s_tc, n2)
+        s_ev = mk_kevents(dcfg.smer_len, dcfg.smer_log2_buckets)
+        b_ev = mk_kevents(dcfg.bmer_len, dcfg.bmer_log2_buckets)
 
-    def f_stc0(s):
-        return tables.table_update(s, *s_ev, log2_base=dcfg.smer_log2_buckets,
-                                   rounds=0)
-    t_chain("s table_update FUSED (rounds=0)", f_stc0, st.s_tc, n2)
+        def f_stc(s):
+            return tables.ktable_update(s, *s_ev,
+                                        log2_base=dcfg.smer_log2_buckets)
+        t_chain("s ktable_update (~410k ev)", f_stc, st.s_tc, s_ev[0].shape[0])
 
-    def f_btc(s):
-        return tables.table_update(s, *b_ev, log2_base=dcfg.bmer_log2_buckets,
-                                   rounds=dcfg.claim_rounds)
-    t_chain("b table_update (820k ev, full)", f_btc, st.b_tc, n2)
+        def f_btc(s):
+            return tables.ktable_update(s, *b_ev,
+                                        log2_base=dcfg.bmer_log2_buckets)
+        t_chain("b ktable_update (~410k ev)", f_btc, st.b_tc, b_ev[0].shape[0])
+    else:
+        s_ev = mk_events(dcfg.smer_len)
+        b_ev = mk_events(dcfg.bmer_len)
+
+        def f_stc(s):
+            return tables.table_update(s, *s_ev,
+                                       log2_base=dcfg.smer_log2_buckets,
+                                       rounds=dcfg.claim_rounds)
+        t_chain("s table_update (820k ev, full)", f_stc, st.s_tc, n2)
+
+        def f_btc(s):
+            return tables.table_update(s, *b_ev,
+                                       log2_base=dcfg.bmer_log2_buckets,
+                                       rounds=dcfg.claim_rounds)
+        t_chain("b table_update (820k ev, full)", f_btc, st.b_tc, n2)
 
     # ---------------- modeling sub-parts ----------------
     print("\n== modeling sub-parts ==", flush=True)
@@ -252,7 +277,8 @@ def main():
         (ls, lb), _ = jax.lax.scan(row, (ls, lb), (eff_rows, len_rows))
         return ls + lb[0, 0]
     t_seq("local inserts x4 rows", f_localins,
-          tables.local_create(dcfg.local_log2_cells), (eff, lengths))
+          (tables.klocal_create if dcfg.canon else tables.local_create)(
+              dcfg.local_log2_cells), (eff, lengths))
 
     # cdf math alone (mix): gather fine+coarse rows and quantize
     def f_cdf(s, st_, ctx, sym):
