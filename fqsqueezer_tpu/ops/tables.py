@@ -275,6 +275,9 @@ def table_update(tc: jax.Array, lo: jax.Array, hi: jax.Array,
     weights = (jnp.int32(1) << jnp.arange(BUCKET, dtype=jnp.int32))[None, :]
 
     if rounds == 0:
+        # 2-D scatters + 2-D delta plane throughout (flat-reshape scatters
+        # on a 2-D tiled table relayout-copy the table each way — a ~10 ms
+        # fixed cost per call; see ktable_update)
         row = tc[bkt]                               # [n, 2*BUCKET]
         tags_r = row[:, :BUCKET]
         match = tags_r == tag[:, None]
@@ -285,16 +288,22 @@ def table_update(tc: jax.Array, lo: jax.Array, hi: jax.Array,
         j = (tag >> 13).astype(jnp.int32) & (BUCKET - 1)
         rot = ((bm >> j) | (bm << (BUCKET - j))) & ((1 << BUCKET) - 1)
         slot = (j + _ctz(rot)) & (BUCKET - 1)
-        flat_claim = jnp.where(want, bkt * W + slot, n_buckets * W)
-        tc = tc.reshape(-1).at[flat_claim].max(tag, mode="drop").reshape(
-            n_buckets, W)
+        tc = tc.at[jnp.where(want, bkt, n_buckets), slot].max(
+            tag, mode="drop")
         dcell = jnp.where(found, cell, slot)
-        delta = _scatter_delta_u8(n_buckets * BUCKET, bkt * BUCKET + dcell,
-                                  base, found | want)
-        delta16 = jnp.concatenate(
-            [jnp.zeros((n_buckets, BUCKET), jnp.uint32),
-             delta.reshape(n_buckets, BUCKET)], axis=1)
-        return swar_sat_add_u8(tc, delta16)
+        ok = found | want
+        # one u32 accumulator per (cell, base) — full headroom, saturation
+        # applied once at collapse (homopolymer contexts exceed 255 events
+        # per batch; wraparound would corrupt the neighbor byte)
+        dplane = jnp.zeros((n_buckets, 4 * BUCKET), jnp.uint32).at[
+            jnp.where(ok, bkt, n_buckets),
+            4 * dcell + (base.astype(jnp.int32) & 3)].add(1, mode="drop")
+        d = jnp.minimum(dplane, 255)
+        cols = [d[:, 4 * c] | (d[:, 4 * c + 1] << 8)
+                | (d[:, 4 * c + 2] << 16) | (d[:, 4 * c + 3] << 24)
+                for c in range(BUCKET)]
+        new_cnt = swar_sat_add_u8(tc[:, BUCKET:], jnp.stack(cols, axis=1))
+        return jnp.concatenate([tc[:, :BUCKET], new_cnt], axis=1)
 
     def claim_round(r, tc):
         row_t = tc[bkt][:, :BUCKET]                 # [n, BUCKET]
@@ -396,7 +405,14 @@ def ktable_update(tc: jax.Array, bkt: jax.Array, tag: jax.Array,
     """Batch-insert/increment canonical k-mer events (fused 3-pass protocol,
     see table_update rounds==0 for the full rationale): one row gather serves
     probe + claim decision, one scatter-max claims tags, one scatter
-    accumulates u8 count deltas. bkt/tag/valid: [n] flat."""
+    accumulates count deltas. bkt/tag/valid: [n] flat.
+
+    All scatters use 2-D (row, col) coordinates and the delta plane is a 2-D
+    [n_buckets, BUCKET] u32 array: scattering through `tc.reshape(-1)` on a
+    2-D tiled table forces a physical relayout copy each way, measured a
+    ~10 ms FIXED cost per call on a 2^20-bucket table (the dominant cost of
+    the row-granular update protocol, streams/dna.py row_global); the 2-D
+    form is bit-identical and 3x faster at row-block event counts."""
     n_buckets = tc.shape[0]
     log2_buckets = n_buckets.bit_length() - 1
     if log2_base < 0:
@@ -416,17 +432,16 @@ def ktable_update(tc: jax.Array, bkt: jax.Array, tag: jax.Array,
     j = (tag >> 13).astype(jnp.int32) & (BUCKET - 1)
     rot = ((bm >> j) | (bm << (BUCKET - j))) & ((1 << BUCKET) - 1)
     slot = (j + _ctz(rot)) & (BUCKET - 1)
-    flat_claim = jnp.where(want, bkt * KW + slot, n_buckets * KW)
-    tc = tc.reshape(-1).at[flat_claim].max(tag, mode="drop").reshape(
-        n_buckets, KW)
+    tc = tc.at[jnp.where(want, bkt, n_buckets), slot].max(tag, mode="drop")
     dcell = jnp.where(found, cell, slot)
-    delta = _scatter_delta_u8(
-        n_buckets * (BUCKET // 4), bkt * (BUCKET // 4) + (dcell >> 2),
-        dcell, found | want)
-    drow = jnp.concatenate(
-        [jnp.zeros((n_buckets, BUCKET), jnp.uint32),
-         delta.reshape(n_buckets, BUCKET // 4)], axis=1)
-    return swar_sat_add_u8(tc, drow)
+    ok = found | want
+    dplane = jnp.zeros((n_buckets, BUCKET), jnp.uint32).at[
+        jnp.where(ok, bkt, n_buckets), dcell].add(1, mode="drop")
+    d = jnp.minimum(dplane, 255)
+    d01 = d[:, 0] | (d[:, 1] << 8) | (d[:, 2] << 16) | (d[:, 3] << 24)
+    d23 = d[:, 4] | (d[:, 5] << 8) | (d[:, 6] << 16) | (d[:, 7] << 24)
+    tc = tc.at[:, BUCKET].set(swar_sat_add_u8(tc[:, BUCKET], d01))
+    return tc.at[:, BUCKET + 1].set(swar_sat_add_u8(tc[:, BUCKET + 1], d23))
 
 
 def ktable_grow(tc: jax.Array, log2_base: int):
@@ -521,20 +536,17 @@ def local_insert(tc: jax.Array, cell, tag, base, valid, row=0,
     statistics of ~tag-collision-rate cells blur (measured ratio cost on
     the standard corpus: see BASELINE.md round-3 notes)."""
     C = tc.shape[0]
-    flat = tc.reshape(-1)
     row_inv = jnp.uint32(31) - jnp.minimum(
         jnp.asarray(row).astype(jnp.uint32), jnp.uint32(31))
     stamped = (row_inv << 27) | tag
-    tag_idx = cell * LOCAL_W
-    flat = flat.at[jnp.where(valid, tag_idx, C * LOCAL_W)].max(
-        stamped, mode="drop")
+    # 2-D scatters: flat-reshape scatters on a 2-D tiled table pay a
+    # relayout copy each way (see ktable_update)
+    tc = tc.at[jnp.where(valid, cell, C), 0].max(stamped, mode="drop")
     if lite:
         ok = valid
     else:
-        ok = valid & ((flat[tag_idx] & LOCAL_TAG_MASK) == tag)
-    cnt_idx = tag_idx + 1 + base
-    flat = flat.at[jnp.where(ok, cnt_idx, C * LOCAL_W)].add(1, mode="drop")
-    return flat.reshape(C, LOCAL_W)
+        ok = valid & ((tc[cell, 0] & LOCAL_TAG_MASK) == tag)
+    return tc.at[jnp.where(ok, cell, C), 1 + base].add(1, mode="drop")
 
 
 # ---------------------------------------------------------------------------
@@ -576,22 +588,17 @@ def klocal_insert(tc: jax.Array, cell, tag, slot, valid, row=0,
     Same stamped claim-by-scatter-max protocol as local_insert (earliest
     read row wins the cell); lite=True skips the ownership gather."""
     C = tc.shape[0]
-    flat = tc.reshape(-1)
     row_inv = jnp.uint32(31) - jnp.minimum(
         jnp.asarray(row).astype(jnp.uint32), jnp.uint32(31))
     stamped = (row_inv << 27) | tag
-    tag_idx = cell * KLOCAL_W
-    flat = flat.at[jnp.where(valid, tag_idx, C * KLOCAL_W)].max(
-        stamped, mode="drop")
+    tc = tc.at[jnp.where(valid, cell, C), 0].max(stamped, mode="drop")
     if lite:
         ok = valid
     else:
-        ok = valid & ((flat[tag_idx] & LOCAL_TAG_MASK) == tag)
-    cnt_idx = tag_idx + 1 + (slot >> 1)
+        ok = valid & ((tc[cell, 0] & LOCAL_TAG_MASK) == tag)
     inc = jnp.uint32(1) << ((slot & 1) << 4).astype(jnp.uint32)
-    flat = flat.at[jnp.where(ok, cnt_idx, C * KLOCAL_W)].add(
+    return tc.at[jnp.where(ok, cell, C), 1 + (slot >> 1)].add(
         inc, mode="drop")
-    return flat.reshape(C, KLOCAL_W)
 
 
 # ---------------------------------------------------------------------------
@@ -649,7 +656,6 @@ def pair_update(pt, klo, khi, vlo_n, vhi_n, w, valid):
     # slot rotation from the TICKET (not the key tag): same-key events with
     # distinct values pick distinct slots in the same round
     j = (ticket >> 13).astype(jnp.int32) & (BUCKET - 1)
-    nslots = n_buckets * BUCKET
 
     def claim_round(r, carry):
         tags, vlo, vhi = carry
@@ -663,17 +669,16 @@ def pair_update(pt, klo, khi, vlo_n, vhi_n, w, valid):
         jr = (j + 3 * r) & (BUCKET - 1)
         rot = ((bm >> jr) | (bm << (BUCKET - jr))) & ((1 << BUCKET) - 1)
         slot = (jr + _ctz(rot)) & (BUCKET - 1)
-        flat = jnp.where(want, bkt * BUCKET + slot, nslots)
-        claim = jnp.zeros((nslots,), jnp.uint32).at[flat].max(
-            ticket, mode="drop")
-        win = want & (claim[jnp.minimum(flat, nslots - 1)] == ticket)
-        flat_w = jnp.where(win, bkt * BUCKET + slot, nslots)
-        tags = tags.reshape(-1).at[flat_w].set(tag, mode="drop").reshape(
-            n_buckets, BUCKET)
-        vlo = vlo.reshape(-1).at[flat_w].set(vlo_n, mode="drop").reshape(
-            n_buckets, BUCKET)
-        vhi = vhi.reshape(-1).at[flat_w].set(vhi_n, mode="drop").reshape(
-            n_buckets, BUCKET)
+        # 2-D scatters (flat-reshape scatters relayout 2-D tables, see
+        # ktable_update); the claim plane is created 2-D
+        bkt_w = jnp.where(want, bkt, n_buckets)
+        claim = jnp.zeros((n_buckets + 1, BUCKET), jnp.uint32).at[
+            bkt_w, slot].max(ticket)
+        win = want & (claim[bkt_w, slot] == ticket)
+        bkt_v = jnp.where(win, bkt, n_buckets)
+        tags = tags.at[bkt_v, slot].set(tag, mode="drop")
+        vlo = vlo.at[bkt_v, slot].set(vlo_n, mode="drop")
+        vhi = vhi.at[bkt_v, slot].set(vhi_n, mode="drop")
         return tags, vlo, vhi
 
     tags, vlo, vhi = jax.lax.fori_loop(0, 2, claim_round, (tags, vlo, vhi))
@@ -682,9 +687,9 @@ def pair_update(pt, klo, khi, vlo_n, vhi_n, w, valid):
               & (vhi[bkt] == vhi_n[:, None]))
     found2 = jnp.any(match2, axis=1) & valid
     cell2 = jnp.argmax(match2, axis=1)
-    flat2 = jnp.where(found2, bkt * BUCKET + cell2, nslots)
-    cnt = cnt.reshape(-1).at[flat2].add(w.astype(jnp.uint32), mode="drop")
-    cnt = jnp.minimum(cnt, 1 << 20).reshape(n_buckets, BUCKET)
+    cnt = cnt.at[jnp.where(found2, bkt, n_buckets), cell2].add(
+        w.astype(jnp.uint32), mode="drop")
+    cnt = jnp.minimum(cnt, 1 << 20)
     return tags, vlo, vhi, cnt
 
 

@@ -162,6 +162,14 @@ class Params:
     # halving the table-update scatter traffic. Decode-affecting (cell
     # layout + statistics); legacy archives decode with 0.
     dna_canon: int = 1
+    # row-global s/b-mer updates (streams/dna.py DnaConfig.row_global): the
+    # global tables evolve at read-row granularity inside each batch,
+    # REPLACING the separate in-batch local tables — same freshness, far
+    # less machinery (the local-table queries + row inserts were the single
+    # largest cost of both encode modeling and the decode scan, profiled
+    # round 3). When set, local_log2_cells is ignored. Decode-affecting,
+    # in the header; legacy archives decode with 0.
+    dna_row_global: int = 1
 
     def adjust_kmer_sizes(self) -> None:
         """Auto-pick k-mer lengths from genome size (parity: params.h:131-155)."""
@@ -197,7 +205,7 @@ class Params:
         "dna_mix_w", "dna_mix_b", "dna_sorted_ctx",
         "dna_repair_iters", "dna_claim_rounds", "dna_local_rc",
         "dna_pmer_gate", "dna_siv_cap", "dna_prefix_ramp",
-        "dna_local_lite", "dna_canon",
+        "dna_local_lite", "dna_canon", "dna_row_global",
     )
 
     # decode-affecting params whose absence in an archive header means the
@@ -207,7 +215,8 @@ class Params:
                    "dna_sorted_ctx": 0, "dna_repair_iters": 3,
                    "dna_claim_rounds": 2, "dna_local_rc": 1,
                    "dna_pmer_gate": 0, "dna_siv_cap": 13,
-                   "dna_prefix_ramp": 0, "dna_local_lite": 0}
+                   "dna_prefix_ramp": 0, "dna_local_lite": 0,
+                   "dna_canon": 0, "dna_row_global": 0}
 
     def store_params(self) -> bytes:
         d = {}

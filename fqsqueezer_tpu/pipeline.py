@@ -39,12 +39,17 @@ class CodecState(NamedTuple):
 
 def make_configs(p: Params):
     is_pe = p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
+    # row-global table updates replace the in-batch local tables outright;
+    # the mesh path keeps the legacy protocol for now (its tables are
+    # tp-sharded / dp-replicated with batch-level exchange)
+    row_global = (p.dna_row_global > 0 and p.mesh_dp <= 1 and p.mesh_tp <= 1)
     dcfg = dna.DnaConfig(
         siv_len=p.siv_len, smer_len=p.smer_len, bmer_len=p.bmer_len,
         prefix_len=p.prefix_len, scale_bits=p.scale_bits, n_lanes=p.n_lanes,
         smer_log2_buckets=p.smer_log2_buckets,
         bmer_log2_buckets=p.bmer_log2_buckets,
-        local_log2_cells=p.local_log2_cells,
+        row_global=row_global,
+        local_log2_cells=0 if row_global else p.local_log2_cells,
         local_model_inc=p.local_model_inc,
         canon=p.dna_canon > 0,
         mix_w=p.dna_mix_w, mix_b=p.dna_mix_b,
@@ -194,15 +199,32 @@ def _model_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes_pack,
         (codes3, lengths3, anchor_mask3, lcp3, pe_syms, pe_act, pe_f,
          pe_c) = dna.dna_pe_encode(dcfg, state.dna, codes, lengths, lcp=lcp)
         kcodes3 = jnp.where(codes3 >= 4, 0, codes3)
-        eff = dna.dna_effective_kcodes(
-            dcfg, state.dna, codes3, kcodes3, lengths3)
-        d_ctx, d_sym, d_f, d_c, d_act = dna.dna_modeling(
-            dcfg, state.dna, codes3, eff, lengths3, lcp=lcp3,
-            anchor_mask=anchor_mask3)
+        if dcfg.row_global:
+            (eff, d_ctx, d_sym, d_f, d_c, d_act, s_tc,
+             b_tc) = dna.dna_process_batch_rg(
+                dcfg, state.dna, codes3, kcodes3, lengths3, lcp=lcp3,
+                anchor_mask=anchor_mask3)
+            d_state = dna.dna_collect_updates(
+                dcfg, state.dna._replace(s_tc=s_tc, b_tc=b_tc), codes3, eff,
+                lengths3, d_ctx, d_sym, d_act, pe_syms=pe_syms, pe_act=pe_act,
+                codes_true=codes, lengths_true=lengths, skip_sb=True)
+        else:
+            eff = dna.dna_effective_kcodes(
+                dcfg, state.dna, codes3, kcodes3, lengths3)
+            d_ctx, d_sym, d_f, d_c, d_act = dna.dna_modeling(
+                dcfg, state.dna, codes3, eff, lengths3, lcp=lcp3,
+                anchor_mask=anchor_mask3)
+            d_state = dna.dna_collect_updates(
+                dcfg, state.dna, codes3, eff, lengths3, d_ctx, d_sym, d_act,
+                pe_syms=pe_syms, pe_act=pe_act,
+                codes_true=codes, lengths_true=lengths)
+    elif dcfg.row_global:
+        (eff, d_ctx, d_sym, d_f, d_c, d_act, s_tc,
+         b_tc) = dna.dna_process_batch_rg(
+            dcfg, state.dna, codes, kcodes, lengths, lcp=lcp)
         d_state = dna.dna_collect_updates(
-            dcfg, state.dna, codes3, eff, lengths3, d_ctx, d_sym, d_act,
-            pe_syms=pe_syms, pe_act=pe_act,
-            codes_true=codes, lengths_true=lengths)
+            dcfg, state.dna._replace(s_tc=s_tc, b_tc=b_tc), codes, eff,
+            lengths, d_ctx, d_sym, d_act, skip_sb=True)
     else:
         eff = dna.dna_effective_kcodes(dcfg, state.dna, codes, kcodes, lengths)
         d_ctx, d_sym, d_f, d_c, d_act = dna.dna_modeling(

@@ -152,6 +152,18 @@ class DnaConfig:
     # count, the largest block of the encode profile. Decode-affecting
     # (cell layout + statistics), stored in the archive header.
     canon: bool = False
+    # row-global updates (round 3): the GLOBAL s/b-mer tables evolve at read
+    # row granularity inside the batch — the row scan carries them and each
+    # row's insert events apply at its boundary — replacing the separate
+    # in-batch local tables (local_log2_cells) entirely. Same statistics
+    # freshness as the reference's ht_*_local + barrier-synced global
+    # inserts (dna.cpp:95-107, 2393-2472), with one table instead of two:
+    # profiling showed the local-table machinery (klocal queries + row
+    # inserts) was the single largest block of BOTH the encode modeling
+    # pass (~157 of 206 ms/batch) and the decode scan (~170 of 247 ms).
+    # Repair runs per row against the row-fresh tables on both sides.
+    # Decode-affecting (statistics + repair decisions), in the header.
+    row_global: bool = False
 
 
 class DnaState(NamedTuple):
@@ -773,6 +785,60 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
     return fb(ctx_b), fb(sym_b), fb(f_b), fb(c_b), code_active
 
 
+def dna_process_batch_rg(cfg: DnaConfig, state: DnaState, codes, kcodes,
+                         lengths, be=tables.LOCAL, lcp=None,
+                         anchor_mask=None):
+    """Row-global encoder pass (cfg.row_global): a scan over the r_pl read
+    rows carrying the GLOBAL s/b-mer tables. Per row: greedy repair against
+    the row-fresh tables, the cascade find, context/rank modeling against
+    the batch-frozen models, then the row's s/b insert events apply to the
+    carried tables (_apply_sb_updates) — the exact order the decoder's outer
+    scan replays. Replaces the (repair pass -> flat modeling -> batch-level
+    s/b collect) trio of the legacy path.
+
+    Returns (eff, ctx_all, sym_enc, f, c, code_active, s_tc, b_tc)."""
+    R, L = codes.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    lens = lengths[:, None]
+    active = pos < lens
+    code_active = active if lcp is None else active & (pos >= lcp[:, None])
+    if anchor_mask is not None:
+        code_active = code_active & ~anchor_mask
+    pb = _pos_bucket(pos, lens)
+    if cfg.sorted_ctx and lcp is not None:
+        pb = _pos_bucket_sorted(pb, pos, lens, lcp[:, None])
+    let_ctx = _letters_plane(codes, pos, pb)
+
+    N = cfg.n_lanes
+    rb = partial(common.to_row_blocks, n_lanes=N)
+    len_rows = common.to_read_grid(lengths, N).T              # [rows, N]
+    xs = (rb(codes), rb(kcodes), rb(code_active), rb(pb), rb(let_ctx),
+          len_rows)
+
+    def row_step(carry, x):
+        s_tc, b_tc = carry
+        codes_r, kc_r, cact_r, pb_r, let_r, len_r = x
+        st_r = state._replace(s_tc=s_tc, b_tc=b_tc)
+        eff_r = dna_effective_kcodes(cfg, st_r, codes_r, kc_r, len_r, be)
+        parts_r, _ = _window_parts(cfg, st_r, eff_r, len_r, be)
+        counts, level = _cascade_combine(*parts_r)
+        ctx_r, sym_r = _ctx_sym_from_counts(
+            cfg, counts, level, codes_r, cact_r, pb_r, let_r, pos)
+        cdf = _dna_cdf(cfg, state, None, ctx_r, cfg.scale_bits)
+        f, c = models.cdf_encode_lookup(cdf, sym_r)
+        f = jnp.where(cact_r, f, 1 << cfg.scale_bits)
+        c = jnp.where(cact_r, c, 0)
+        act_r = pos < len_r[:, None]
+        s_tc, b_tc = _apply_sb_updates(cfg, be, s_tc, b_tc, eff_r, act_r)
+        return (s_tc, b_tc), (eff_r, ctx_r, sym_r, f, c)
+
+    (s_tc, b_tc), (eff_b, ctx_b, sym_b, f_b, c_b) = jax.lax.scan(
+        row_step, (state.s_tc, state.b_tc), xs)
+    fb = common.from_row_blocks
+    return (fb(eff_b), fb(ctx_b), fb(sym_b), fb(f_b), fb(c_b), code_active,
+            s_tc, b_tc)
+
+
 def dna_pe_encode(cfg: DnaConfig, state: DnaState, codes, lengths, lcp=None):
     """Encoder-side PE anchor pass over an interleaved batch (reference
     CompressPE, dna.cpp:1790-1872): find anchors against the batch-frozen
@@ -810,10 +876,47 @@ def dna_pe_encode(cfg: DnaConfig, state: DnaState, codes, lengths, lcp=None):
 # shared state evolution
 # ---------------------------------------------------------------------------
 
+def _apply_sb_updates(cfg: DnaConfig, be, s_tc, b_tc, kcodes, active):
+    """Apply one block's s/b-mer insert events (both strands; one canonical
+    event per occurrence under cfg.canon). kcodes/active: [rows, L]. Shared
+    VERBATIM by the batch-level collect (legacy), the encoder's row-global
+    scan, and the decoder's row boundaries — so statistics match exactly."""
+
+    def upd(tc, k, log2b):
+        c0 = k - 1
+        ctx_lo, ctx_hi = kmers.pack_windows(kcodes, k - 1)
+        ctx_lo = kmers.shift_right(ctx_lo, 1)[:, c0:]
+        ctx_hi = kmers.shift_right(ctx_hi, 1)[:, c0:]
+        fwd_base = kcodes[:, c0:]
+        vk = active[:, c0:]
+        if cfg.canon:
+            # ONE canonical event per k-mer occurrence (both strands)
+            r_lo, r_hi = kmers.pack_windows_rc(kcodes, k - 1)
+            r_lo = kmers.shift_right(r_lo, 1)[:, c0:]
+            r_hi = kmers.shift_right(r_hi, 1)[:, c0:]
+            bkt, tag = _canon_insert(ctx_lo, ctx_hi, r_lo, r_hi, fwd_base,
+                                     k, log2b)
+            return be.ktable_update(tc, bkt.reshape(-1), tag.reshape(-1),
+                                    vk.reshape(-1), log2_base=log2b)
+        rc_lo, rc_hi = kmers.pack_windows_rc(kcodes, k - 1)
+        rc_lo, rc_hi = rc_lo[:, c0:], rc_hi[:, c0:]
+        rc_base = (3 - kmers.shift_right(kcodes, k - 1))[:, c0:]
+        lo = jnp.concatenate([ctx_lo.reshape(-1), rc_lo.reshape(-1)])
+        hi = jnp.concatenate([ctx_hi.reshape(-1), rc_hi.reshape(-1)])
+        base = jnp.concatenate([fwd_base.reshape(-1), rc_base.reshape(-1)])
+        valid = jnp.concatenate([vk.reshape(-1), vk.reshape(-1)])
+        return be.table_update(tc, lo, hi, base, valid,
+                               log2_base=log2b, rounds=cfg.claim_rounds)
+
+    return (upd(s_tc, cfg.smer_len, cfg.smer_log2_buckets),
+            upd(b_tc, cfg.bmer_len, cfg.bmer_log2_buckets))
+
+
 def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
                         ctx_all, sym_enc, code_active, be=tables.LOCAL,
                         pe_syms=None, pe_act=None,
-                        codes_true=None, lengths_true=None) -> DnaState:
+                        codes_true=None, lengths_true=None,
+                        skip_sb: bool = False) -> DnaState:
     """Apply one batch's k-mer/model statistics (both strands; reference
     queues inserts per owner shard, dna.cpp:810-852, and SIV inserts both
     strands, bit_vec semantics). Model updates count only CODED positions
@@ -851,34 +954,13 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
         jnp.concatenate([siv_f.reshape(-1), siv_r.reshape(-1)]),
         jnp.concatenate([v_siv.reshape(-1), v_siv.reshape(-1)]))
 
-    def upd(tc, k, log2b):
-        c0 = k - 1
-        ctx_lo, ctx_hi = kmers.pack_windows(kcodes, k - 1)
-        ctx_lo = kmers.shift_right(ctx_lo, 1)[:, c0:]
-        ctx_hi = kmers.shift_right(ctx_hi, 1)[:, c0:]
-        fwd_base = kcodes[:, c0:]
-        vk = active[:, c0:]
-        if cfg.canon:
-            # ONE canonical event per k-mer occurrence (both strands)
-            r_lo, r_hi = kmers.pack_windows_rc(kcodes, k - 1)
-            r_lo = kmers.shift_right(r_lo, 1)[:, c0:]
-            r_hi = kmers.shift_right(r_hi, 1)[:, c0:]
-            bkt, tag = _canon_insert(ctx_lo, ctx_hi, r_lo, r_hi, fwd_base,
-                                     k, log2b)
-            return be.ktable_update(tc, bkt.reshape(-1), tag.reshape(-1),
-                                    vk.reshape(-1), log2_base=log2b)
-        rc_lo, rc_hi = kmers.pack_windows_rc(kcodes, k - 1)
-        rc_lo, rc_hi = rc_lo[:, c0:], rc_hi[:, c0:]
-        rc_base = (3 - kmers.shift_right(kcodes, k - 1))[:, c0:]
-        lo = jnp.concatenate([ctx_lo.reshape(-1), rc_lo.reshape(-1)])
-        hi = jnp.concatenate([ctx_hi.reshape(-1), rc_hi.reshape(-1)])
-        base = jnp.concatenate([fwd_base.reshape(-1), rc_base.reshape(-1)])
-        valid = jnp.concatenate([vk.reshape(-1), vk.reshape(-1)])
-        return be.table_update(tc, lo, hi, base, valid,
-                               log2_base=log2b, rounds=cfg.claim_rounds)
-
-    s_tc = upd(state.s_tc, cfg.smer_len, cfg.smer_log2_buckets)
-    b_tc = upd(state.b_tc, cfg.bmer_len, cfg.bmer_log2_buckets)
+    if skip_sb:
+        # row-global mode: the s/b tables already evolved inside the row
+        # scan (dna_process_batch_rg / the decode scan's row boundaries)
+        s_tc, b_tc = state.s_tc, state.b_tc
+    else:
+        s_tc, b_tc = _apply_sb_updates(cfg, be, state.s_tc, state.b_tc,
+                                       kcodes, active)
 
     pe_state = state.pe
     if cfg.pe_log2_buckets > 0:
@@ -909,6 +991,12 @@ def dna_apply_batch(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
                     be=tables.LOCAL, lcp=None) -> DnaState:
     """Recompute contexts for a (decoded) batch and evolve the state —
     identical math to the encoder's pass, guaranteeing convergence."""
+    if cfg.row_global:
+        eff, ctx_all, sym_enc, _, _, code_active, s_tc, b_tc = \
+            dna_process_batch_rg(cfg, state, codes, kcodes, lengths, be, lcp)
+        return dna_collect_updates(
+            cfg, state._replace(s_tc=s_tc, b_tc=b_tc), codes, eff, lengths,
+            ctx_all, sym_enc, code_active, be, skip_sb=True)
     eff = dna_effective_kcodes(cfg, state, codes, kcodes, lengths, be)
     ctx_all, sym_enc, _, _, code_active = dna_modeling(
         cfg, state, codes, eff, lengths, be, lcp)
@@ -923,14 +1011,23 @@ def dna_apply_batch(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
 def dna_encode_batch(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
                      lcp=None):
     """Returns (words, n_words, init_decoder_states, new_state)."""
-    eff = dna_effective_kcodes(cfg, state, codes, kcodes, lengths)
-    ctx_all, sym_enc, f, c, code_active = dna_modeling(
-        cfg, state, codes, eff, lengths, tables.LOCAL, lcp)
+    if cfg.row_global:
+        eff, ctx_all, sym_enc, f, c, code_active, s_tc, b_tc = \
+            dna_process_batch_rg(cfg, state, codes, kcodes, lengths,
+                                 tables.LOCAL, lcp)
+        state = state._replace(s_tc=s_tc, b_tc=b_tc)
+        skip_sb = True
+    else:
+        eff = dna_effective_kcodes(cfg, state, codes, kcodes, lengths)
+        ctx_all, sym_enc, f, c, code_active = dna_modeling(
+            cfg, state, codes, eff, lengths, tables.LOCAL, lcp)
+        skip_sb = False
     fg = common.to_grid(f, cfg.n_lanes)
     cg = common.to_grid(c, cfg.n_lanes)
     words, n_words, states = rans.rans_encode(fg, cg, cfg.scale_bits)
     new_state = dna_collect_updates(cfg, state, codes, eff, lengths,
-                                    ctx_all, sym_enc, code_active)
+                                    ctx_all, sym_enc, code_active,
+                                    skip_sb=skip_sb)
     return words, n_words, states, new_state
 
 
@@ -969,7 +1066,8 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
     r_pl = R // N
     lengths_grid = common.to_read_grid(lengths, N)  # [N, r_pl] TRUE lengths
     with_lcp = lcp is not None
-    with_local = cfg.local_log2_cells > 0
+    with_rg = cfg.row_global
+    with_local = cfg.local_log2_cells > 0 and not with_rg
     with_pe = cfg.pe_log2_buckets > 0 and pe_words is not None
     if with_pe:
         from . import pe as _pe
@@ -1004,6 +1102,11 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
     def outer(carry, rd):
         (x, ptr, pkey, slo, shi, blo, bhi, rregs, prev_rows, loc,
          pe_c) = carry
+        # row-global mode: the cascade (and repair) read the CARRIED s/b
+        # tables — fresh with all earlier rows' events, like the encoder's
+        # dna_process_batch_rg row scan
+        st_row = state._replace(s_tc=loc[0], b_tc=loc[1]) if with_rg \
+            else state
         if with_pe:
             (pe_x, pe_ptr, anc_lo, anc_hi, anc_start, anc_has,
              lenA, lenB) = pe_c
@@ -1066,12 +1169,12 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
                 b_q = _canon_query(b_ctx[0], b_ctx[1], rblo, rbhi,
                                    cfg.bmer_len, cfg.bmer_log2_buckets)
                 parts = _cascade_parts_k(
-                    state, (pkey & pm_mask).astype(jnp.int32),
+                    st_row, (pkey & pm_mask).astype(jnp.int32),
                     s_q, b_q, vp, vs, vb, be,
                     cfg.smer_log2_buckets, cfg.bmer_log2_buckets)
             else:
                 parts = _cascade_parts(
-                    state, (pkey & pm_mask).astype(jnp.int32),
+                    st_row, (pkey & pm_mask).astype(jnp.int32),
                     s_ctx[0], s_ctx[1], b_ctx[0], b_ctx[1], vp, vs, vb, be,
                     cfg.smer_log2_buckets, cfg.bmer_log2_buckets)
             if cfg.prefix_ramp:
@@ -1179,7 +1282,12 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
         ctx_r = ys[2].T
         sym_r = ys[3].T
         anch_r = ys[4].T
-        if with_local:
+        if with_rg:
+            # apply this row's s/b insert events to the carried GLOBAL
+            # tables (all in-length positions, like the encoder's collect)
+            act_r = pos_row < length[:, None]
+            loc = _apply_sb_updates(cfg, be, loc[0], loc[1], eff_r, act_r)
+        elif with_local:
             act_r = pos_row < length[:, None]
             if with_lcp:
                 act_r = act_r & (pos_row >= my_lcp[:, None])
@@ -1252,7 +1360,10 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
     row0 = (jnp.zeros((N, L), jnp.int32) if with_lcp
             else jnp.zeros((N, 1), jnp.int32))
     prev0 = (row0, row0, row0) if with_lcp else (row0,)
-    loc0 = _local_state_create(cfg) if with_local else ()
+    if with_rg:
+        loc0 = (state.s_tc, state.b_tc)
+    else:
+        loc0 = _local_state_create(cfg) if with_local else ()
     zeros_i0 = jnp.zeros((N,), jnp.int32)
     pe_c0 = ((pe_states, jnp.int32(0), zeros_u, zeros_u, zeros_i0,
               jnp.zeros((N,), bool), zeros_i0, zeros_i0)
@@ -1262,6 +1373,11 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
               zeros_u, zeros_u, rregs0, prev0, loc0, pe_c0)
     carry, ys = jax.lax.scan(outer, carry0, jnp.arange(n_rows, dtype=jnp.int32))
     x, ptr = carry[0], carry[1]
+    if with_rg:
+        # the scan's carried tables hold every row's events already; the
+        # remaining collect skips s/b (carry[-2] = the loc slot, carry[-1]
+        # = pe_c)
+        state = state._replace(s_tc=carry[-2][0], b_tc=carry[-2][1])
 
     codes = common.from_row_blocks(ys[0])      # [R3, L] in PE-anchor mode
     eff = common.from_row_blocks(ys[1])
@@ -1291,7 +1407,8 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             new_state = dna_collect_updates(
                 cfg, state, codes, eff, lengths3, ctx_all, sym, code_active,
                 be, pe_syms=pe_syms, pe_act=pe_act,
-                codes_true=codes_true, lengths_true=lengths)
+                codes_true=codes_true, lengths_true=lengths,
+                skip_sb=with_rg)
         else:
             new_state = state
         return codes_true, new_state, x, ptr, extras
@@ -1303,7 +1420,8 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
     if apply_update:
         new_state = dna_collect_updates(cfg, state, codes, eff, lengths,
                                         ctx_all, sym, code_active, be,
-                                        pe_syms=None, pe_act=None)
+                                        pe_syms=None, pe_act=None,
+                                        skip_sb=with_rg)
     else:
         new_state = state
     return codes, new_state, x, ptr, extras

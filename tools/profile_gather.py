@@ -102,5 +102,54 @@ def main():
     timeit("flat 2^22*9 explicit 9-idx gather", flat, tcf, h0)
 
 
+def carried_variants():
+    """Outer-scan-carried table: inner gathers from it, outer boundary
+    scatter-updates it — the row_global decode shape."""
+    import time as _t
+    h0 = jnp.arange(N, dtype=jnp.int32) * 7919
+    tc0 = jnp.zeros(((1 << 20), 10), jnp.uint32)
+    ev = jnp.arange(N * L, dtype=jnp.int32) % (1 << 20)
+
+    def mk(update: bool, carried: bool):
+        @jax.jit
+        def f(tc, h0):
+            def outer(carry, rd):
+                h, tc = carry if carried else (carry, tc0)
+
+                def inner(h, i):
+                    acc = jnp.sum(tc[(h * 3) & ((1 << 20) - 1)], axis=-1) \
+                        + jnp.sum(tc[(h * 7) & ((1 << 20) - 1)], axis=-1)
+                    h = (h * 31 + acc.astype(jnp.int32)) & ((1 << 20) - 1)
+                    return h, acc[0]
+
+                h, ys = jax.lax.scan(inner, h,
+                                     jnp.arange(L, dtype=jnp.int32),
+                                     unroll=2)
+                tc2 = tc
+                if update:
+                    tc2 = tc.reshape(-1).at[ev * 10].max(
+                        jnp.uint32(1), mode="drop").reshape(tc.shape)
+                    tc2 = tc2.reshape(-1).at[ev * 10 + 5].add(
+                        jnp.uint32(1), mode="drop").reshape(tc.shape)
+                return ((h, tc2) if carried else h), ys
+
+            init = (h0, tc) if carried else h0
+            out, ys = jax.lax.scan(outer, init,
+                                   jnp.arange(R_PL, dtype=jnp.int32))
+            return out[0] if carried else out
+
+        return f
+
+    for upd, car, label in [(False, False, "closure, no update"),
+                            (False, True, "carried, no update"),
+                            (True, True, "carried + 2-scatter update/row"),
+                            ]:
+        timeit(label, mk(upd, car), tc0, h0)
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _s
+    if len(_s.argv) > 1 and _s.argv[1] == "carried":
+        carried_variants()
+    else:
+        main()
