@@ -46,6 +46,9 @@ def test_sharded_matches_local_modeling():
 
     p, _ = ge._tiny_cfgs()
     p.dna_mode = DnaMode.SE_ORIGINAL
+    # the mesh path runs the legacy in-batch-local protocol (make_configs
+    # gates row_global off when mesh_dp/tp > 1); compare like-for-like
+    p.dna_row_global = 0
     dcfg, qcfg, mcfg, icfg = pl.make_configs(p)
     rng = np.random.default_rng(5)
     R = 2 * dcfg.n_lanes * 2
