@@ -219,6 +219,57 @@ def rans_encode(freq: jax.Array, cum: jax.Array, scale_bits: int,
     return words, wptr, x
 
 
+GROUP_PAD_ROWS = 512   # fused-group grid rows pad granularity (bounded
+#                        compile-shape set; padding rows are exact no-ops)
+GROUP_MAX_BATCHES = 64
+
+
+def rans_encode_group(freq: jax.Array, cum: jax.Array, scale_bits: int,
+                      row_bounds: jax.Array):
+    """Encode a whole GROUP's concatenated [T, N] grid as ONE chained walk
+    (replaces one rans_encode launch per batch — the encoder's per-stream
+    reverse chain across batches is exactly a reverse walk over the
+    concatenation in batch order). Trailing padding rows must carry
+    (freq=2^SB, cum=0) no-ops.
+
+    row_bounds: [GROUP_MAX_BATCHES + 1] int32 cumulative ROW offsets of each
+    batch (b_k = rows of batches 0..k-1; unused tail entries repeat the last
+    value). Returns (words, n_per_batch [GROUP_MAX_BATCHES], states): the
+    packed word stream is in global decode order, so batch k's words are the
+    contiguous slice [sum(n_per[:k]), sum(n_per[:k+1])) — byte-identical to
+    per-batch encoding with chained states."""
+    T, N = freq.shape
+    if _use_pallas(N):
+        wplane, eplane, x = _rans_encode_pallas(freq, cum, scale_bits,
+                                                rans_initial_states(N))
+    else:
+        def step(x, inp):
+            f, c = inp
+            f = f.astype(jnp.uint32)
+            c = c.astype(jnp.uint32)
+            emit = (x >> (32 - scale_bits)) >= f
+            word = x & WORD_MASK
+            x = jnp.where(emit, x >> WORD_BITS, x)
+            q = x // f
+            x = (q << scale_bits) + c + (x - q * f)
+            return x, (word, emit)
+
+        x, (wplane, eplane) = jax.lax.scan(
+            step, rans_initial_states(N),
+            (freq.astype(jnp.uint32), cum.astype(jnp.uint32)), reverse=True)
+    e = eplane.reshape(-1)
+    ei = e.astype(jnp.int32)
+    pos = jnp.cumsum(ei) - ei
+    words = jnp.zeros((T * N,), jnp.uint32).at[
+        jnp.where(e, pos, T * N)].set(wplane.reshape(-1), mode="drop")
+    row_sums = jnp.sum(eplane.astype(jnp.int32), axis=1)        # [T]
+    crow = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(row_sums)])              # [T+1]
+    at = crow[jnp.minimum(row_bounds, T)]
+    n_per = at[1:] - at[:-1]
+    return words.astype(jnp.uint16), n_per, x
+
+
 def rans_decode_slots(states: jax.Array, scale_bits: int) -> jax.Array:
     """Current slot (low SB bits) of each lane's state: the value the symbol
     lookup inverts through the cdf."""

@@ -269,6 +269,41 @@ def _rans_grid(f, c, scale_bits, init_states):
     return words.astype(jnp.uint16), n_words, st
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _rans_group(f, c, scale_bits, row_bounds):
+    from .ops import rans as _r
+
+    return _r.rans_encode_group(f.astype(jnp.uint32), c.astype(jnp.uint32),
+                                scale_bits, row_bounds)
+
+
+def _rans_group_stream(fcs, scale_bits: int, n_lanes: int):
+    """Concatenate one stream's per-batch (f, c) u16 grids (batch order),
+    pad rows to the canonical granularity with exact no-ops, and run the
+    fused group encode. Returns (words u16 dev, n_per dev, states dev,
+    row offsets per batch)."""
+    from .ops import rans as _r
+
+    rows = [int(f.shape[0]) for f, _ in fcs]
+    bounds = [0]
+    for r in rows:
+        bounds.append(bounds[-1] + r)
+    T = bounds[-1]
+    T_pad = -(-T // _r.GROUP_PAD_ROWS) * _r.GROUP_PAD_ROWS
+    f = jnp.concatenate(
+        [f for f, _ in fcs]
+        + ([jnp.full((T_pad - T, n_lanes), 1 << scale_bits, jnp.uint16)]
+           if T_pad > T else []), axis=0)
+    c = jnp.concatenate(
+        [c for _, c in fcs]
+        + ([jnp.zeros((T_pad - T, n_lanes), jnp.uint16)]
+           if T_pad > T else []), axis=0)
+    rb = np.full((_r.GROUP_MAX_BATCHES + 1,), T, np.int32)
+    rb[:len(bounds)] = bounds
+    words, n_per, states = _rans_group(f, c, scale_bits, jnp.asarray(rb))
+    return words, n_per, states
+
+
 def _trim_words(words_u16, n: int):
     """Device-side slice to a pow2-bucketed prefix of the word buffer (the
     tail is rANS padding): ~2x over the true size instead of the ~6x a
@@ -545,32 +580,32 @@ def compress_file(p: Params, in_path: str, out_path: str,
         nonlocal group_fc, group_meta, group_bytes, group_idx, group_crc, state
         if not group_meta:
             return
-        # schedule every stream's reverse rANS chain on device first (async
-        # dispatch overlaps them), then pull counts and trimmed buffers
-        per_batch_dev = [[None] * n_streams for _ in group_meta]
-        states_out = []
+        # ONE fused reverse rANS chain per stream over the group's
+        # concatenated grids (replaces one launch per batch per stream);
+        # per-batch word counts come back as a vector, and the packed
+        # stream's batch slices are contiguous in decode order
+        K = len(group_meta)
+        per_stream = []
         for si in range(n_streams):
-            st = None
-            for k in range(len(group_meta) - 1, -1, -1):
-                f16, c16 = group_fc[k][si]
-                if st is None:
-                    st = jnp.full((p.n_lanes,), 1 << 16, jnp.uint32)
-                words, n_words, st = _rans_grid(f16, c16, p.scale_bits, st)
-                per_batch_dev[k][si] = (words, n_words)
-            states_out.append(st)
-        ns = jax.device_get([d[1] for row in per_batch_dev for d in row])
-        trimmed = [
-            _trim_words(per_batch_dev[k][si][0], int(ns[k * n_streams + si]))
-            for k in range(len(group_meta)) for si in range(n_streams)]
+            fcs = [group_fc[k][si] for k in range(K)]
+            words, n_per, st = _rans_group_stream(fcs, p.scale_bits,
+                                                  p.n_lanes)
+            per_stream.append((words, n_per, st))
+        ns = jax.device_get([n for _, n, _ in per_stream])
+        trimmed = [_trim_words(per_stream[si][0], int(ns[si][:K].sum()))
+                   for si in range(n_streams)]
         # ONE pipelined pull for states + all word buffers (async copies are
         # issued for every leaf before the first blocking read)
-        states_out, pulled = jax.device_get((states_out, trimmed))
+        states_out, pulled = jax.device_get(
+            ([st for _, _, st in per_stream], trimmed))
         per_batch_words = [[None] * n_streams for _ in group_meta]
-        for k in range(len(group_meta)):
-            for si in range(n_streams):
-                n = int(ns[k * n_streams + si])
-                per_batch_words[k][si] = (pulled[k * n_streams + si], n)
+        for si in range(n_streams):
+            off = 0
+            for k in range(K):
+                n = int(ns[si][k])
+                per_batch_words[k][si] = (pulled[si][off:off + n], n)
                 stream_bytes[skeys[si]] += 2 * n
+                off += n
         stream_bytes["states"] += 4 * p.n_lanes * n_streams
         writer.write_group(
             states_out,
@@ -640,7 +675,9 @@ def compress_file(p: Params, in_path: str, out_path: str,
         group_fc.append(grids)   # device-resident uint16 grids
         group_meta.append((take, L8))
         group_bytes += sum(f.size * 2 + c.size * 2 for f, c in grids)
-        if group_bytes >= group_mem_bytes:
+        from .ops import rans as _r
+        if (group_bytes >= group_mem_bytes
+                or len(group_meta) >= _r.GROUP_MAX_BATCHES):
             flush_group()
     flush_group()
     writer.close()

@@ -64,9 +64,15 @@ def main():
             data.lengths[start:start + take], padded).astype(np.int32))
         kcodes = jnp.where(codes >= 4, 0, codes)
 
-        eff = dna.dna_effective_kcodes(dcfg, state, codes, kcodes, lengths)
-        ctx, sym, f, c, act = dna.dna_modeling(dcfg, state, codes, eff,
-                                               lengths)
+        if dcfg.row_global:
+            eff, ctx, sym, f, c, act, s_tc, b_tc = dna.dna_process_batch_rg(
+                dcfg, state, codes, kcodes, lengths)
+            state = state._replace(s_tc=s_tc, b_tc=b_tc)
+        else:
+            eff = dna.dna_effective_kcodes(dcfg, state, codes, kcodes,
+                                           lengths)
+            ctx, sym, f, c, act = dna.dna_modeling(dcfg, state, codes, eff,
+                                                   lengths)
         # recompute level/pb from the packed fine ctx (bit layout _code_ctx)
         ctx_np = np.asarray(ctx)
         act_np = np.asarray(act)
@@ -92,7 +98,8 @@ def main():
         np.add.at(cnt_by_tf, tfb[m], 1)
 
         state = dna.dna_collect_updates(dcfg, state, codes, eff, lengths,
-                                        ctx, sym, act)
+                                        ctx, sym, act,
+                                        skip_sb=dcfg.row_global)
         state = jax.tree_util.tree_map(
             lambda a: a.block_until_ready() if hasattr(a, "block_until_ready")
             else a, state)
