@@ -355,13 +355,24 @@ def table_update(tc: jax.Array, lo: jax.Array, hi: jax.Array,
 #   * cell tag = kmers.ktag(canonical K, middle) — unique per k-mer, with the
 #     table-growth bits [23, 27) derived from the MIDDLE hash so the 4
 #     candidates stay co-bucketed after every regrow;
-#   * row = [BUCKET tags | BUCKET/4 u8x4-packed count words].
+#   * row = [BUCKET tags | BUCKET u16 slot counters packed 2-per-u32].
 # A find gathers one row and matches the 8 stored tags against the 4
 # candidate tags; counts land per candidate. Palindromic-middle k-mers
 # (probability 4^-(k-2)/2) lose only the cross-strand half of their
 # statistics — both sides compute the same rule, so round-trips stay exact.
+#
+# u16 slot counters (round 3, second design): counters only ever INCREASE,
+# so clipping to 255 at FIND time is observably identical to the previous
+# u8 saturating-add fold — while letting updates scatter-add increments
+# DIRECTLY into the row words (3 engine passes over the events: row gather,
+# claim scatter-max, count scatter-add) instead of accumulating a
+# full-table [n_buckets, BUCKET] delta plane + two whole-table SWAR sweeps
+# per call (a ~12-15 ms FIXED cost; the row-global protocol pays 8 update
+# calls per batch, making that plane the single largest block of both the
+# encode scan and the decode scan). A u16 wrap needs 65536 occurrences of
+# one k-mer — and would be deterministic and replayed identically anyway.
 
-KW = BUCKET + BUCKET // 4   # row width: 8 tags + 2 packed count words
+KW = BUCKET + BUCKET // 2   # row width: 8 tags + 4 u16x2-packed count words
 
 
 def ktable_create(log2_buckets: int):
@@ -393,9 +404,13 @@ def ktable_find(tc: jax.Array, bkt: jax.Array, tags4: jax.Array,
     row = tc[b]                                     # [..., KW]
     tags_r = row[..., :BUCKET]
     match = tags_r[..., None, :] == tags4[..., :, None]   # [..., 4, BUCKET]
-    cnt8 = unpack_counts(row[..., BUCKET:]).reshape(
-        row.shape[:-1] + (BUCKET,))
-    counts = jnp.sum(jnp.where(match, cnt8[..., None, :], 0), axis=-1)
+    w = row[..., BUCKET:]                           # [..., BUCKET//2]
+    cnt16 = jnp.stack([w & jnp.uint32(0xFFFF), w >> 16], axis=-1).reshape(
+        row.shape[:-1] + (BUCKET,)).astype(jnp.int32)
+    # clip to the u8 saturation ceiling at READ time (counters only grow,
+    # so this is exactly the old saturating-add fold's observable value)
+    cnt = jnp.minimum(cnt16, 255)
+    counts = jnp.sum(jnp.where(match, cnt[..., None, :], 0), axis=-1)
     found = jnp.any(match, axis=(-2, -1))
     return counts, found
 
@@ -404,15 +419,17 @@ def ktable_update(tc: jax.Array, bkt: jax.Array, tag: jax.Array,
                   valid: jax.Array, log2_base: int = -1):
     """Batch-insert/increment canonical k-mer events (fused 3-pass protocol,
     see table_update rounds==0 for the full rationale): one row gather serves
-    probe + claim decision, one scatter-max claims tags, one scatter
-    accumulates count deltas. bkt/tag/valid: [n] flat.
+    probe + claim decision, one scatter-max claims tags, one scatter-add
+    accumulates the count increments DIRECTLY into the row's u16 slot
+    counters. bkt/tag/valid: [n] flat.
 
-    All scatters use 2-D (row, col) coordinates and the delta plane is a 2-D
-    [n_buckets, BUCKET] u32 array: scattering through `tc.reshape(-1)` on a
-    2-D tiled table forces a physical relayout copy each way, measured a
-    ~10 ms FIXED cost per call on a 2^20-bucket table (the dominant cost of
-    the row-granular update protocol, streams/dna.py row_global); the 2-D
-    form is bit-identical and 3x faster at row-block event counts."""
+    All scatters use 2-D (row, col) coordinates: scattering through
+    `tc.reshape(-1)` on a 2-D tiled table forces a physical relayout copy
+    each way (a ~10 ms FIXED cost per call on a 2^20-bucket table). The
+    direct u16 scatter-add replaces the earlier full-table delta plane +
+    two whole-table SWAR sweeps (another ~12-15 ms fixed per call) — the
+    update is now O(events) engine work only, which is what makes the
+    row-granular protocol (8 calls per batch) affordable."""
     n_buckets = tc.shape[0]
     log2_buckets = n_buckets.bit_length() - 1
     if log2_base < 0:
@@ -435,23 +452,21 @@ def ktable_update(tc: jax.Array, bkt: jax.Array, tag: jax.Array,
     tc = tc.at[jnp.where(want, bkt, n_buckets), slot].max(tag, mode="drop")
     dcell = jnp.where(found, cell, slot)
     ok = found | want
-    dplane = jnp.zeros((n_buckets, BUCKET), jnp.uint32).at[
-        jnp.where(ok, bkt, n_buckets), dcell].add(1, mode="drop")
-    d = jnp.minimum(dplane, 255)
-    d01 = d[:, 0] | (d[:, 1] << 8) | (d[:, 2] << 16) | (d[:, 3] << 24)
-    d23 = d[:, 4] | (d[:, 5] << 8) | (d[:, 6] << 16) | (d[:, 7] << 24)
-    tc = tc.at[:, BUCKET].set(swar_sat_add_u8(tc[:, BUCKET], d01))
-    return tc.at[:, BUCKET + 1].set(swar_sat_add_u8(tc[:, BUCKET + 1], d23))
+    inc = jnp.uint32(1) << ((dcell & 1) << 4).astype(jnp.uint32)
+    return tc.at[jnp.where(ok, bkt, n_buckets),
+                 BUCKET + (dcell >> 1)].add(inc, mode="drop")
 
 
 def ktable_grow(tc: jax.Array, log2_base: int):
     """Double the bucket count at a group boundary (see table_grow). Cells
-    move by their tag's mid-derived growth bit; each cell's count BYTE moves
+    move by their tag's mid-derived growth bit; each cell's u16 counter moves
     with it (count words are repacked per destination)."""
     n_buckets = tc.shape[0]
     log2b = n_buckets.bit_length() - 1
     tags = tc[:, :BUCKET]
-    cnt8 = unpack_counts(tc[:, BUCKET:]).reshape(n_buckets, BUCKET)
+    w = tc[:, BUCKET:]                                   # [B, BUCKET//2]
+    cnt16 = jnp.stack([w & jnp.uint32(0xFFFF), w >> 16], axis=-1).reshape(
+        n_buckets, BUCKET)
     grow_bit = ((tags >> (23 + log2b - log2_base)) & 1).astype(jnp.int32)
     new_bkt = jnp.arange(n_buckets, dtype=jnp.int32)[:, None] \
         + grow_bit * n_buckets
@@ -461,11 +476,11 @@ def ktable_grow(tc: jax.Array, log2_base: int):
     flat_t = jnp.where(live, new_bkt * KW + slot, 2 * n_buckets * KW)
     new = jnp.zeros((2 * n_buckets * KW,), jnp.uint32)
     new = new.at[flat_t.reshape(-1)].set(tags.reshape(-1), mode="drop")
-    # counts: each destination byte written by exactly one source cell, so a
-    # shifted scatter-ADD assembles the packed words exactly
-    flat_c = jnp.where(live, new_bkt * KW + BUCKET + (slot >> 2),
+    # counts: each destination u16 half written by exactly one source cell,
+    # so a shifted scatter-ADD assembles the packed words exactly
+    flat_c = jnp.where(live, new_bkt * KW + BUCKET + (slot >> 1),
                        2 * n_buckets * KW)
-    cval = cnt8.astype(jnp.uint32) << (8 * (slot & 3)).astype(jnp.uint32)
+    cval = cnt16 << (16 * (slot & 1)).astype(jnp.uint32)
     new = new.at[flat_c.reshape(-1)].add(cval.reshape(-1), mode="drop")
     return new.reshape(2 * n_buckets, KW)
 
