@@ -33,6 +33,12 @@ def state_to_arrays(state: CodecState) -> dict:
     }
     if state.dna.cmodel is not None:
         out["dna_cmodel"] = np.asarray(state.dna.cmodel)
+    if state.dna.pe is not None:
+        # PE anchor state: (pair tags, vlo, vhi, cnt, pe stream model) —
+        # resuming a PE archive without it would replay an empty pair table
+        # and diverge from the encoder's anchor choices
+        for i, a in enumerate(state.dna.pe):
+            out[f"dna_pe_{i}"] = np.asarray(a)
     if state.qual is not None:
         out["qual"] = np.asarray(state.qual)
     if state.id is not None:
@@ -48,7 +54,9 @@ def arrays_to_state(d: dict) -> CodecState:
             b_tc=jnp.asarray(d["dna_b_tc"]),
             model=jnp.asarray(d["dna_model"]),
             cmodel=(jnp.asarray(d["dna_cmodel"])
-                    if "dna_cmodel" in d else None)),
+                    if "dna_cmodel" in d else None),
+            pe=(tuple(jnp.asarray(d[f"dna_pe_{i}"]) for i in range(5))
+                if "dna_pe_0" in d else None)),
         meta=jnp.asarray(d["meta"]),
         qual=jnp.asarray(d["qual"]) if "qual" in d else None,
         id=jnp.asarray(d["id"]) if "id" in d else None)

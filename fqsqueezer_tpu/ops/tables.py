@@ -485,6 +485,19 @@ def ktable_grow(tc: jax.Array, log2_base: int):
     return new.reshape(2 * n_buckets, KW)
 
 
+def ktable_clamp(tc: jax.Array) -> jax.Array:
+    """Clamp each u16 slot counter to 0x8000 (a whole-table sweep run at
+    group boundaries by BOTH sides on identical state). Counters above the
+    255 find-time clip are observably identical anyway; without this, a
+    counter reaching 0xFFFF would wrap and carry +1 into the adjacent
+    slot's packed half (cross-slot pollution on ultra-repetitive corpora).
+    Post-clamp headroom is 32767 increments per group per slot."""
+    w = tc[:, BUCKET:]
+    lo = jnp.minimum(w & jnp.uint32(0xFFFF), jnp.uint32(0x8000))
+    hi = jnp.minimum(w >> 16, jnp.uint32(0x8000))
+    return jnp.concatenate([tc[:, :BUCKET], lo | (hi << 16)], axis=1)
+
+
 def ktable_fill_stats(tc: jax.Array):
     used = jnp.sum((tc[:, :BUCKET] != EMPTY).astype(jnp.int32))
     return used, tc.shape[0] * BUCKET

@@ -109,17 +109,26 @@ class TpBackend:
         my = jax.lax.axis_index(self.axis)
         local = bkt - my * local_buckets
         own = (local >= 0) & (local < local_buckets)
-        return jnp.clip(local, 0, local_buckets - 1), own
+        # spread non-owned gathers across the local range: clipping them all
+        # to the boundary rows makes a gather-conflict pile the engine
+        # serializes on (see tables.table_update's invalid-event spread)
+        spread = (bkt & (local_buckets - 1)).astype(jnp.int32)
+        return jnp.where(own, local, spread), own
 
     def ktable_find(self, tc_local, bkt, tags4, log2_base=-1):
+        """Mirror of tables.ktable_find on the owned bucket range: u16 slot
+        counters (2 per u32 word, tables.py KW layout), clipped to the u8
+        saturation ceiling at read time, psum'd over tp."""
         idx, own = self._own_bucket(tc_local, bkt)
         B = tables.BUCKET
         row = tc_local[idx]
         match = (row[..., None, :B] == tags4[..., :, None]) \
             & own[..., None, None]
-        cnt8 = tables.unpack_counts(row[..., B:]).reshape(
-            row.shape[:-1] + (B,))
-        counts = jnp.sum(jnp.where(match, cnt8[..., None, :], 0), axis=-1)
+        w = row[..., B:]                            # [..., B//2] u16x2 words
+        cnt16 = jnp.stack([w & jnp.uint32(0xFFFF), w >> 16], axis=-1).reshape(
+            row.shape[:-1] + (B,)).astype(jnp.int32)
+        cnt = jnp.minimum(cnt16, 255)
+        counts = jnp.sum(jnp.where(match, cnt[..., None, :], 0), axis=-1)
         counts = jax.lax.psum(counts, self.axis)
         found = jax.lax.psum(
             jnp.any(match, axis=(-2, -1)).astype(jnp.int32), self.axis) > 0

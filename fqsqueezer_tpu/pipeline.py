@@ -361,27 +361,42 @@ GROW_NUM, GROW_DEN = 6, 10  # grow when used/capacity > 0.6 (integer compare)
 SIV_PRUNE_NUM, SIV_PRUNE_DEN = 5, 10  # prune singletons when fill > 0.5
 
 
-def grow_tables(dcfg, dna_state, verbosity: int = 0):
+def fill_stats_device(dcfg, dna_state):
+    """[s_used, b_used, siv_nz] as ONE device array — computed async on
+    device so the caller can fold it into an existing batched device_get
+    instead of paying a standalone blocking pull per group (the round-3
+    profile showed grow_tables' int() pulls as a per-group sync bubble)."""
+    from .ops import tables as _t
+
+    fill_fn = _t.ktable_fill_stats if dcfg.canon else _t.table_fill_stats
+    su, _ = fill_fn(dna_state.s_tc)
+    bu, _ = fill_fn(dna_state.b_tc)
+    nz, _ = _t.siv_fill(dna_state.siv)
+    return jnp.stack([su, bu, nz])
+
+
+def grow_tables(dcfg, dna_state, verbosity: int = 0, stats=None):
     """Group-boundary coordinated growth of the s/b-mer tables (the
     reference's barrier-bracketed restruct, application.cpp:894-902 +
     ht_kmer.h:88-112): when a table's fill factor exceeds 0.6 it doubles,
     each cell moving by one tag-derived bit (tables.table_grow). Both sides
     run this at the same boundary on identical state, so the decision and
     the resulting layout are identical — and fill telemetry comes free
-    (the reference's filling-factor stats, bit_vec.h:204-230)."""
+    (the reference's filling-factor stats, bit_vec.h:204-230).
+
+    stats: optional host values of fill_stats_device(dcfg, dna_state),
+    pulled by the caller as part of a larger batched device_get."""
     from .ops import tables as _t
 
     new = dna_state
-    fill_fn = _t.ktable_fill_stats if dcfg.canon else _t.table_fill_stats
+    if stats is None:
+        stats = np.asarray(fill_stats_device(dcfg, dna_state))
     grow_fn = _t.ktable_grow if dcfg.canon else _t.table_grow
-    for pre, base in (("s", dcfg.smer_log2_buckets),
-                      ("b", dcfg.bmer_log2_buckets)):
+    for pre, base, used in (("s", dcfg.smer_log2_buckets, int(stats[0])),
+                            ("b", dcfg.bmer_log2_buckets, int(stats[1]))):
         tc = getattr(new, pre + "_tc")
         cur = tc.shape[0].bit_length() - 1
-        if cur - base >= GROW_MAX_DOUBLINGS and verbosity < 2:
-            continue     # maxed out: skip the blocking fill-factor pull
-        used, cap = fill_fn(tc)
-        used = int(used)
+        cap = tc.shape[0] * _t.BUCKET
         if verbosity >= 2:
             print(f"  {pre}mer fill: {used}/{cap} ({used / cap:.3f})"
                   f" [2^{cur} buckets]")
@@ -390,12 +405,18 @@ def grow_tables(dcfg, dna_state, verbosity: int = 0):
             if verbosity >= 1:
                 print(f"  {pre}mer table grown to 2^{cur + 1} buckets "
                       f"(fill {used / cap:.2f})")
+    if dcfg.canon:
+        # clamp u16 slot counters away from the wrap point (cross-slot
+        # carry pollution on ultra-repetitive corpora, tables.ktable_clamp);
+        # same sweep on both sides at the same boundary
+        new = new._replace(s_tc=_t.ktable_clamp(new.s_tc),
+                           b_tc=_t.ktable_clamp(new.b_tc))
     # SIV has fixed capacity: when it gets dense (WGS-scale inputs), clear
     # singleton counters — sequencing-error noise — like the reference's
     # conditionally_clear (bit_vec.h:168-202). Same deterministic rule on
     # both sides, so the cascades keep matching.
-    nz, cap = _t.siv_fill(new.siv)
-    nz = int(nz)
+    nz = int(stats[2])
+    cap = 4 * new.siv.shape[0]
     if verbosity >= 2:
         print(f"  siv fill: {nz}/{cap} ({nz / cap:.3f})")
     if nz * SIV_PRUNE_DEN > cap * SIV_PRUNE_NUM:
@@ -594,10 +615,13 @@ def compress_file(p: Params, in_path: str, out_path: str,
         ns = jax.device_get([n for _, n, _ in per_stream])
         trimmed = [_trim_words(per_stream[si][0], int(ns[si][:K].sum()))
                    for si in range(n_streams)]
-        # ONE pipelined pull for states + all word buffers (async copies are
-        # issued for every leaf before the first blocking read)
-        states_out, pulled = jax.device_get(
-            ([st for _, _, st in per_stream], trimmed))
+        # ONE pipelined pull for states + all word buffers + the group's
+        # table fill stats (async copies are issued for every leaf before
+        # the first blocking read; grow_tables then decides without its own
+        # standalone pull)
+        states_out, pulled, fills = jax.device_get(
+            ([st for _, _, st in per_stream], trimmed,
+             fill_stats_device(dcfg, state.dna)))
         per_batch_words = [[None] * n_streams for _ in group_meta]
         for si in range(n_streams):
             off = 0
@@ -620,7 +644,7 @@ def compress_file(p: Params, in_path: str, out_path: str,
             # read of each lane in a group escapes to raw bytes
             id_chain[:] = [None] * len(id_chain)
         state = state._replace(
-            dna=grow_tables(dcfg, state.dna, p.verbosity))
+            dna=grow_tables(dcfg, state.dna, p.verbosity, stats=fills))
         if snapshot_prefix is not None:
             # state AFTER this group's batches = what a decoder needs to
             # START decoding the NEXT group (parallel decode / resume)
@@ -840,6 +864,10 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
             if pending is not None:
                 drain(pending)
             pending = (take, padded, lengths, codes, qsyms, id_batch)
+        # issue the fill-stat computation before the final drain so its
+        # device->host copy hides behind the drain's pull (no standalone
+        # blocking pull at the group boundary)
+        fills = fill_stats_device(dcfg, state.dna)
         if pending is not None:
             drain(pending)
         if got_crc != want_crc:
@@ -849,7 +877,8 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
         # replay the encoder's group-boundary table growth (flush_group):
         # both sides see identical state here, so the grow decision and the
         # resulting layout match deterministically
-        state = state._replace(dna=grow_tables(dcfg, state.dna, p.verbosity))
+        state = state._replace(dna=grow_tables(
+            dcfg, state.dna, p.verbosity, stats=np.asarray(fills)))
     reader.close()
 
     n_out = w1.n_reads + (w2.n_reads if w2 is not None else 0)
@@ -887,7 +916,9 @@ def interleave_pe(d1: fastq.FastqData, d2: fastq.FastqData) -> fastq.FastqData:
     return fastq.FastqData(codes=codes, quals=quals, lengths=lengths, ids=ids)
 
 
-def compress_pe(p: Params, in1: str, in2: str, out_path: str) -> dict:
+def compress_pe(p: Params, in1: str, in2: str, out_path: str,
+                group_mem_bytes: Optional[int] = None,
+                snapshot_prefix: Optional[str] = None) -> dict:
     """Paired-end compression: pairs interleaved; sorted mode orders pairs by
     mate1's sequence (reference sorts mate2 by mate1's permutation,
     io.h:531-550); mate-to-mate statistics flow through the shared k-mer
@@ -901,7 +932,11 @@ def compress_pe(p: Params, in1: str, in2: str, out_path: str) -> dict:
         d2 = fastq.FastqData(d2.codes[order], d2.quals[order],
                              d2.lengths[order], [d2.ids[i] for i in order])
     data = interleave_pe(d1, d2)
-    stats = compress_file(p, in1, out_path, data=data)
+    kw = {}
+    if group_mem_bytes is not None:
+        kw["group_mem_bytes"] = group_mem_bytes
+    stats = compress_file(p, in1, out_path, data=data,
+                          snapshot_prefix=snapshot_prefix, **kw)
     import os
 
     stats["in_bytes"] = os.path.getsize(in1) + os.path.getsize(in2)

@@ -40,6 +40,42 @@ def test_resume_from_group_snapshot(tmp_path):
     assert all_reads[len(all_reads) - len(tail):] == tail
 
 
+def test_pe_resume_from_group_snapshot(tmp_path):
+    """A PE snapshot must carry the pair table + PE stream model
+    (DnaState.pe): resuming from group k must reproduce the tail
+    byte-exactly, including anchor choices driven by the pair table."""
+    import glob
+
+    from tests.test_pe import make_pe_pair
+
+    f1, f2 = make_pe_pair(tmp_path, n_pairs=400, read_len=64, seed=31,
+                          genome_kb=20)
+    p = small_params(dna_mode=DnaMode.PE_ORIGINAL,
+                     quality_mode=QualityMode.LOSSLESS,
+                     id_mode=IdMode.LOSSLESS)
+    arc = str(tmp_path / "pe.fqst")
+    snap = str(tmp_path / "snap")
+    pipeline.compress_pe(p, f1, f2, arc, group_mem_bytes=64 << 10,
+                         snapshot_prefix=snap)
+    snaps = sorted(glob.glob(snap + ".g*.npz"))
+    assert len(snaps) >= 2, "expected multiple groups"
+    state = checkpoint.load_state(checkpoint.snapshot_path(snap, 1))
+    assert state.dna.pe is not None, "PE snapshot must include pair state"
+
+    o1, o2 = str(tmp_path / "o1.fastq"), str(tmp_path / "o2.fastq")
+    pipeline.decompress_file(Params(), arc, o1, o2)
+    a1, a2 = reads_of(o1), reads_of(o2)
+    assert reads_of(f1) == a1 and reads_of(f2) == a2
+
+    r1, r2 = str(tmp_path / "r1.fastq"), str(tmp_path / "r2.fastq")
+    pipeline.decompress_file(Params(), arc, r1, r2, start_group=1,
+                             init_state=state)
+    t1, t2 = reads_of(r1), reads_of(r2)
+    assert 0 < len(t1) < len(a1)
+    assert a1[len(a1) - len(t1):] == t1
+    assert a2[len(a2) - len(t2):] == t2
+
+
 def test_corrupt_archive_detected(tmp_path):
     """Payload crc32 catches bit flips in the entropy-coded payload."""
     import pytest

@@ -8,10 +8,10 @@ from fqsqueezer_tpu import pipeline
 from fqsqueezer_tpu.parallel import sharded
 
 
-def _cfgs():
+def _cfgs(mesh_dp=1, mesh_tp=1):
     import __graft_entry__ as ge
 
-    return ge._tiny_cfgs()
+    return ge._tiny_cfgs(mesh_dp, mesh_tp)
 
 
 def test_dryrun_roundtrip_8dev():
@@ -44,11 +44,10 @@ def test_sharded_matches_local_modeling():
     from fqsqueezer_tpu.params import DnaMode
     from fqsqueezer_tpu import pipeline as pl
 
-    p, _ = ge._tiny_cfgs()
+    # mesh_dp/tp set BEFORE make_configs: the mesh feature gating has one
+    # owner, and the canon k-mer protocol (the round-3 default) is covered
+    p, _ = ge._tiny_cfgs(mesh_dp=2, mesh_tp=4)
     p.dna_mode = DnaMode.SE_ORIGINAL
-    # the mesh path runs the legacy in-batch-local protocol (make_configs
-    # gates row_global off when mesh_dp/tp > 1); compare like-for-like
-    p.dna_row_global = 0
     dcfg, qcfg, mcfg, icfg = pl.make_configs(p)
     rng = np.random.default_rng(5)
     R = 2 * dcfg.n_lanes * 2
@@ -73,7 +72,8 @@ def test_sharded_matches_local_modeling():
     # sharded run: dp=2, tp=4
     mesh = sharded.make_mesh(8, tp=4)
     state_s = pipeline.state_create(dcfg, qcfg, icfg)
-    sspec = sharded.state_specs(qcfg is not None, icfg is not None)
+    sspec = sharded.state_specs(qcfg is not None, icfg is not None,
+                                dcfg.mix_w > 0)
     state_s = jax.device_put(
         state_s, jax.tree.map(lambda s: NamedSharding(mesh, s), sspec,
                               is_leaf=lambda x: isinstance(x, P)))
@@ -111,7 +111,7 @@ def test_multichip_two_batch_chain():
     multichip analog of the group-chained pipeline."""
     import __graft_entry__ as ge
 
-    p, (dcfg, qcfg, mcfg, icfg) = ge._tiny_cfgs()
+    p, (dcfg, qcfg, mcfg, icfg) = ge._tiny_cfgs(mesh_dp=4, mesh_tp=2)
     mesh = sharded.make_mesh(8, tp=2)
     dp = mesh.shape["dp"]
     R = dp * dcfg.n_lanes * 2
@@ -121,7 +121,8 @@ def test_multichip_two_batch_chain():
     b1 = ge._tiny_batch(icfg, R=R, L=L, seed=1)
 
     state = pipeline.state_create(dcfg, qcfg, icfg)
-    sspec = sharded.state_specs(qcfg is not None, icfg is not None)
+    sspec = sharded.state_specs(qcfg is not None, icfg is not None,
+                                dcfg.mix_w > 0)
     state = jax.device_put(
         state, jax.tree.map(lambda s: NamedSharding(mesh, s), sspec,
                             is_leaf=lambda x: isinstance(x, P)))
