@@ -25,6 +25,9 @@ BASELINE_BITS_PER_BASE = 2.787
 BASELINE_DECODE_READS_PER_S = 3268.0
 REF_SORTED_BYTES = 3_305_026     # reference `-om s -qm 8 -im n` on the corpus
 REF_PE_BYTES = 1_386_065         # reference `e -p -om o -qm n -im n`
+REF_IDS_BYTES = 1_417_286        # reference `-om o -qm n -im o` (se_ids)
+REF_REAL_BYTES = 3_382_084       # reference `-om o -qm 8 -im n`, realistic corpus
+REAL_CORPUS = "/tmp/fqtz_bench_real.fastq"
 N_READS = 100_000
 READ_LEN = 100
 CORPUS = "/tmp/fqtz_bench_se.fastq"
@@ -137,6 +140,44 @@ def main() -> None:
         }
     except Exception as e:  # pragma: no cover - diagnostic ride-along
         out["pe"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # ---- ratio-only ride-alongs: se_ids + se_real (VERDICT r3 #5) — the
+    # configs where the DNA stream has no quality/id stream to hide behind.
+    try:
+        pi = base_params(DnaMode.SE_ORIGINAL, QualityMode.NONE,
+                         IdMode.LOSSLESS)
+        stats_i = pipeline.compress_file(pi, CORPUS, "/tmp/fqtz_bench_ids.fqst",
+                                         data=data)
+        out["se_ids"] = {
+            "bits_per_base": round(stats_i["bits_per_base"], 4),
+            "bytes_vs_ref": round(stats_i["out_bytes"] / REF_IDS_BYTES, 4),
+        }
+    except Exception as e:  # pragma: no cover - diagnostic ride-along
+        out["se_ids"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    try:
+        from fqsqueezer_tpu.utils.corpus import write_fastq_corpus_realistic
+
+        if not os.path.exists(REAL_CORPUS):
+            write_fastq_corpus_realistic(REAL_CORPUS, N_READS, READ_LEN,
+                                         4_600_000, seed=42)
+        pr = base_params(DnaMode.SE_ORIGINAL, QualityMode.ILLUMINA_8,
+                         IdMode.NONE)
+        stats_r = pipeline.compress_file(pr, REAL_CORPUS,
+                                         "/tmp/fqtz_bench_real.fqst")
+        out["se_real"] = {
+            "bits_per_base": round(stats_r["bits_per_base"], 4),
+            "bytes_vs_ref": round(stats_r["out_bytes"] / REF_REAL_BYTES, 4),
+        }
+    except Exception as e:  # pragma: no cover - diagnostic ride-along
+        out["se_real"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # ride-along failures must never lose the primary line, but they must
+    # also never pass silently (a broken PE path once hid behind this)
+    for key in ("sorted", "pe", "se_ids", "se_real"):
+        if "error" in out.get(key, {}):
+            print(f"RIDE-ALONG FAILURE [{key}]: {out[key]['error']}",
+                  file=sys.stderr)
 
     print(json.dumps(out))
 

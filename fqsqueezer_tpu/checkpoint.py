@@ -31,8 +31,6 @@ def state_to_arrays(state: CodecState) -> dict:
         "dna_model": np.asarray(state.dna.model),
         "meta": np.asarray(state.meta),
     }
-    if state.dna.cmodel is not None:
-        out["dna_cmodel"] = np.asarray(state.dna.cmodel)
     if state.dna.pe is not None:
         # PE anchor state: (pair tags, vlo, vhi, cnt, pe stream model) —
         # resuming a PE archive without it would replay an empty pair table
@@ -53,8 +51,6 @@ def arrays_to_state(d: dict) -> CodecState:
             s_tc=jnp.asarray(d["dna_s_tc"]),
             b_tc=jnp.asarray(d["dna_b_tc"]),
             model=jnp.asarray(d["dna_model"]),
-            cmodel=(jnp.asarray(d["dna_cmodel"])
-                    if "dna_cmodel" in d else None),
             pe=(tuple(jnp.asarray(d[f"dna_pe_{i}"]) for i in range(5))
                 if "dna_pe_0" in d else None)),
         meta=jnp.asarray(d["meta"]),

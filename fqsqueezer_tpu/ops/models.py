@@ -80,8 +80,8 @@ def model_cdf_masked(freqs: jax.Array, alpha_lut: jax.Array, ctx: jax.Array,
     return _rows_to_cdf(freqs[ctx] + alpha_lut[ctx], scale_bits)
 
 
-def model_cdf_mix(freqs: jax.Array, coarse: jax.Array, ctx: jax.Array,
-                  cctx: jax.Array, scale_bits: int, w: int, b: int,
+def model_cdf_mix(freqs: jax.Array, ctx: jax.Array, cctx: jax.Array,
+                  scale_bits: int, w: int, b: int,
                   local: jax.Array | None = None) -> jax.Array:
     """Two-level context mix: the TPU-shaped analog of the reference's
     adaptive context-level hierarchy (dna.cpp:2107-2286, code_ctx.cpp:257-324
@@ -97,14 +97,22 @@ def model_cdf_mix(freqs: jax.Array, coarse: jax.Array, ctx: jax.Array,
     contributes nothing (mature contexts keep their full sharpness).
     All-integer and applied identically by encoder and decoder.
 
+    freqs holds BOTH model families in one array — fine rows first, coarse
+    rows behind them — and cctx must arrive pre-offset by the fine row
+    count. Both rows then come back in ONE gather of [..., 2] indices
+    (engine ops charge a fixed latency per op: one 2N-event gather beats
+    two N-event gathers on the decode scan's critical path, where this
+    runs once per position).
+
     Headroom: t_fine <= 2^RAW_CAP_BITS (model_update), coarse adds <= w + A,
     local deltas are clamped by local_cap(..., extra=w) — so every smoothed
     row total stays <= 2^scale_bits and quantized frequencies stay >= 1."""
-    f = freqs[ctx]
+    rows2 = freqs[jnp.stack([ctx, cctx], axis=-1)]      # [..., 2, A]
+    f = rows2[..., 0, :]
+    g = rows2[..., 1, :]
     if local is not None:
         cap = local_cap(freqs.shape[1], scale_bits, extra=w)
         f = f + jnp.minimum(local[ctx], cap)
-    g = coarse[cctx]
     tf = jnp.sum(f, axis=-1, keepdims=True)
     tg = jnp.sum(g, axis=-1, keepdims=True)
     # both quotients are small (<= w) with products < 2^25: exact via

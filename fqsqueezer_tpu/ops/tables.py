@@ -446,7 +446,10 @@ def ktable_update(tc: jax.Array, bkt: jax.Array, tag: jax.Array,
     cell = jnp.argmax(match, axis=1)
     bm = jnp.sum(jnp.where(tags_r == EMPTY, weights, 0), axis=1)
     want = valid & ~found & (bm > 0)
-    j = (tag >> 13).astype(jnp.int32) & (BUCKET - 1)
+    # rotation mixes the low (end-letter slot) bits in: same-middle k-mers
+    # — exactly the common genomic-variant case under the mid-hash|slot tag
+    # scheme — must pick DIFFERENT claim slots in the same batch
+    j = ((tag >> 13) ^ tag).astype(jnp.int32) & (BUCKET - 1)
     rot = ((bm >> j) | (bm << (BUCKET - j))) & ((1 << BUCKET) - 1)
     slot = (j + _ctz(rot)) & (BUCKET - 1)
     tc = tc.at[jnp.where(want, bkt, n_buckets), slot].max(tag, mode="drop")

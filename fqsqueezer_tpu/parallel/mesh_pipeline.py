@@ -34,7 +34,7 @@ from .. import pipeline as base
 
 def _mesh_and_specs(p: Params, dcfg, qcfg, mcfg, icfg, dp: int, tp: int):
     mesh = sharded.make_mesh(dp * tp, tp=tp)
-    sspec = sharded.state_specs(qcfg is not None, icfg is not None, dcfg.mix_w > 0)
+    sspec = sharded.state_specs(qcfg is not None, icfg is not None)
     state = base.state_create(dcfg, qcfg, icfg)
     state = jax.device_put(
         state, jax.tree.map(lambda s: NamedSharding(mesh, s), sspec,

@@ -141,13 +141,13 @@ class TpBackend:
         return tables.ktable_update(tc_local, idx, tag, valid & own)
 
 
-def state_specs(qual: bool, with_ids: bool = False, with_mix: bool = False):
-    """PartitionSpecs for CodecState: tables sharded over tp, models replicated."""
+def state_specs(qual: bool, with_ids: bool = False):
+    """PartitionSpecs for CodecState: tables sharded over tp, models
+    replicated (the model array carries the coarse family inline)."""
     from ..pipeline import CodecState
 
     dna_spec = dna.DnaState(
-        siv=P("tp"), s_tc=P("tp"), b_tc=P("tp"), model=P(),
-        cmodel=P() if with_mix else None)
+        siv=P("tp"), s_tc=P("tp"), b_tc=P("tp"), model=P())
     return CodecState(dna=dna_spec, meta=P(), qual=P() if qual else None,
                       id=P() if with_ids else None)
 
@@ -233,7 +233,7 @@ def make_sharded_model(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
                                        id_batch)
         return tuple(grids), new_state
 
-    sspec = state_specs(qcfg is not None, icfg is not None, dcfg.mix_w > 0)
+    sspec = state_specs(qcfg is not None, icfg is not None)
     batch = P("dp")
     n_streams = 2 + (qcfg is not None) + (icfg is not None)
     gspec = (P(None, "dp"), P(None, "dp"))  # [T, dp*N] lane grids
@@ -288,7 +288,7 @@ def make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
         i_out = (coded[2 + (qcfg is not None)] if icfg is not None else zero)
         return m_out, i_out, d_out, q_out, new_state
 
-    sspec = state_specs(qcfg is not None, icfg is not None, dcfg.mix_w > 0)
+    sspec = state_specs(qcfg is not None, icfg is not None)
     batch = P("dp")
     out_stream = (P("dp"), P("dp"), P("dp"))
     fn = jax.shard_map(
@@ -366,7 +366,7 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
             + ([i_x] if icfg is not None else [])
         return lengths, codes, qsyms, id_batch, new_state, tuple(xs)
 
-    sspec = state_specs(qcfg is not None, icfg is not None, dcfg.mix_w > 0)
+    sspec = state_specs(qcfg is not None, icfg is not None)
     w = P("dp")
     n_streams = 2 + (qcfg is not None) + (icfg is not None)
     fn = jax.shard_map(

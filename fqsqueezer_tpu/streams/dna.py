@@ -88,7 +88,7 @@ REPAIR_MIN_COUNT = 2
 # bookkeeping, fusion boundaries around the table gathers) is a real tax on
 # L*r_pl thin steps. Unrolling U positions per iteration is bit-identical —
 # the same op sequence with fewer loop trips — at U x body compile size.
-DECODE_UNROLL = int(os.environ.get("FQTZ_DECODE_UNROLL", "2"))
+DECODE_UNROLL = int(os.environ.get("FQTZ_DECODE_UNROLL", "4"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,11 +170,13 @@ class DnaState(NamedTuple):
     siv: jax.Array
     s_tc: jax.Array   # interleaved (tags | packed counts) rows, tables.py
     b_tc: jax.Array
-    model: jax.Array  # [N_MODEL_CTX, A_SYM]
+    # [N_MODEL_CTX (+ N_COARSE_CTX if cfg.mix_w > 0), A_SYM]: the coarse
+    # parent family lives BEHIND the fine rows in the same array, so a mix
+    # lookup fetches both rows in ONE gather and a batch update applies
+    # both families' events in ONE scatter (models.model_cdf_mix)
+    model: jax.Array
     # PE anchor state: (pair tags, vlo, vhi, cnt, pe stream model) or None
     pe: tuple | None = None
-    # coarse parent model [N_COARSE_CTX, A_SYM] (cfg.mix_w > 0) or None
-    cmodel: jax.Array | None = None
 
 
 def dna_state_create(cfg: DnaConfig) -> DnaState:
@@ -185,14 +187,13 @@ def dna_state_create(cfg: DnaConfig) -> DnaState:
         pe_state = tables.pair_create(cfg.pe_log2_buckets) + (
             models.model_create(_pe.PE_N_CTX, _pe.PE_N_SYM),)
     mk = tables.ktable_create if cfg.canon else tables.table_create
+    n_model = N_MODEL_CTX + (N_COARSE_CTX if cfg.mix_w > 0 else 0)
     return DnaState(
         siv=tables.siv_create(cfg.siv_len),
         s_tc=mk(cfg.smer_log2_buckets),
         b_tc=mk(cfg.bmer_log2_buckets),
-        model=models.model_create(N_MODEL_CTX, A_SYM),
+        model=models.model_create(n_model, A_SYM),
         pe=pe_state,
-        cmodel=(models.model_create(N_COARSE_CTX, A_SYM)
-                if cfg.mix_w > 0 else None),
     )
 
 
@@ -247,23 +248,31 @@ def _cascade_parts(state: DnaState, pm_ctx, s_lo, s_hi, b_lo, b_hi, vp, vs, vb,
     return cp, cs, cb, fp, fs & vs, fb & vb
 
 
+_SLOT_MASK = jnp.uint32(0xF)
+
+
 def _canon_query(c_lo, c_hi, r_lo, r_hi, k: int, log2_cells: int):
     """Canonical 4-candidate query keys for the width-k k-mer table
     (tables.ktable_find). c = fwd context K[0:k-1] (packed, earliest base
     most significant), r = rc(c). Returns (bkt [...], tags4 [..., 4],
     strand [...], mid_lo, mid_hi, c0 [...]) — the tail fields let the
     in-batch local table derive its own keys without recomputing the
-    canonical strand (see _klocal_slots)."""
+    canonical strand (see _klocal_slots).
+
+    Cell tag = (middle hash & ~0xF) | end-letter slot: (middle, first,
+    last) determines the k-mer exactly, so packing the canonical end
+    letters into the tag's low nibble replaces the per-candidate full-kmer
+    hash (4 hash chains per table per decode-scan step — the scan is
+    VPU-op-bound, profile_scan.py) with ONE middle hash + 4 ORs. The
+    growth bits [23, 27) land inside the middle hash, so they stay
+    mid-derived and kbucket_of keeps candidates co-bucketed after regrows
+    for free."""
     s, m_lo, m_hi = kmers.canon_strand(c_lo, c_hi, r_lo, r_hi, k)
     bkt = kmers.hash_bucket(m_lo, m_hi, log2_cells)
-    f0_lo, f0_hi = kmers.shl2(c_lo, c_hi)
-    tags = []
-    for b in range(4):
-        rl, rh = kmers.or_top_base(r_lo, r_hi, 3 - b, k)
-        tags.append(kmers.ktag(jnp.where(s, rl, f0_lo | jnp.uint32(b)),
-                               jnp.where(s, rh, f0_hi), m_lo, m_hi))
+    mt = kmers.hash_tag(m_lo, m_hi) & ~_SLOT_MASK
     c0 = kmers.top_base(c_lo, c_hi, k - 1)
-    return bkt, jnp.stack(tags, axis=-1), s, m_lo, m_hi, c0
+    tags4 = mt[..., None] | _klocal_slots(s, c0).astype(jnp.uint32)
+    return bkt, tags4, s, m_lo, m_hi, c0
 
 
 def _klocal_slots(s, c0):
@@ -277,15 +286,15 @@ def _klocal_slots(s, c0):
 
 def _canon_insert(c_lo, c_hi, r_lo, r_hi, base, k: int, log2_cells: int):
     """(bkt, tag) of the canonical full k-mer c·base — ONE event per
-    occurrence covers both strands (reference kernel canonicalization)."""
+    occurrence covers both strands (reference kernel canonicalization).
+    Tag = mid-hash | canonical end-letter slot, matching _canon_query."""
     s, m_lo, m_hi = kmers.canon_strand(c_lo, c_hi, r_lo, r_hi, k)
     bkt = kmers.hash_bucket(m_lo, m_hi, log2_cells)
-    b = base.astype(jnp.uint32)
-    f_lo, f_hi = kmers.shl2(c_lo, c_hi)
-    f_lo = f_lo | b
-    rl, rh = kmers.or_top_base(r_lo, r_hi, jnp.uint32(3) - b, k)
-    return bkt, kmers.ktag(jnp.where(s, rl, f_lo), jnp.where(s, rh, f_hi),
-                           m_lo, m_hi)
+    mt = kmers.hash_tag(m_lo, m_hi) & ~_SLOT_MASK
+    b = base.astype(jnp.int32)
+    c0 = kmers.top_base(c_lo, c_hi, k - 1)
+    slot = jnp.where(s, 4 * (3 - b) + (3 - c0), 4 * c0 + b)
+    return bkt, mt | slot.astype(jnp.uint32)
 
 
 def _cascade_parts_k(state: DnaState, pm_ctx, s_q, b_q, vp, vs, vb,
@@ -630,9 +639,9 @@ def _dna_cdf(cfg, state: DnaState, lm, ctx, sb):
     coarse-parent mix (cfg.mix_w)."""
     local = lm if cfg.local_model_inc > 0 else None
     if cfg.mix_w > 0:
-        return models.model_cdf_mix(state.model, state.cmodel, ctx,
-                                    _coarse_ctx(ctx), sb, cfg.mix_w,
-                                    cfg.mix_b, local)
+        return models.model_cdf_mix(state.model, ctx,
+                                    N_MODEL_CTX + _coarse_ctx(ctx), sb,
+                                    cfg.mix_w, cfg.mix_b, local)
     if local is not None:
         return models.model_cdf_local(state.model, local, ctx, sb)
     return models.model_cdf(state.model, ctx, sb)
@@ -931,13 +940,18 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     active = pos < lengths[:, None]
 
-    model = models.model_update(
-        state.model, ctx_all.reshape(-1), sym_enc.reshape(-1),
-        code_active.reshape(-1))
-    cmodel = state.cmodel
     if cfg.mix_w > 0:
-        cmodel = models.model_update(
-            cmodel, _coarse_ctx(ctx_all).reshape(-1), sym_enc.reshape(-1),
+        # fine + coarse families live in ONE array: both event streams
+        # apply in a single scatter + one rescale sweep
+        mctx = jnp.concatenate(
+            [ctx_all.reshape(-1),
+             N_MODEL_CTX + _coarse_ctx(ctx_all).reshape(-1)])
+        msym = jnp.concatenate([sym_enc.reshape(-1)] * 2)
+        mact = jnp.concatenate([code_active.reshape(-1)] * 2)
+        model = models.model_update(state.model, mctx, msym, mact)
+    else:
+        model = models.model_update(
+            state.model, ctx_all.reshape(-1), sym_enc.reshape(-1),
             code_active.reshape(-1))
 
     # SIV: packed siv_len windows are exactly (ctx<<2 | next_base) cell
@@ -983,8 +997,7 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
                 pe_act.reshape(-1))
         pe_state = pair + (pe_model,)
 
-    return DnaState(siv=siv, s_tc=s_tc, b_tc=b_tc, model=model, pe=pe_state,
-                    cmodel=cmodel)
+    return DnaState(siv=siv, s_tc=s_tc, b_tc=b_tc, model=model, pe=pe_state)
 
 
 def dna_apply_batch(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
@@ -1136,7 +1149,10 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             my_lcp = jnp.zeros((N,), jnp.int32)
             src_row = jnp.zeros((N, 1), jnp.int32)
 
-        def inner(c2, i):
+        def mk_inner(with_ramp):
+            return partial(inner, with_ramp)
+
+        def inner(with_ramp, c2, i):
             (x, ptr, pkey, slo, shi, blo, bhi, rregs, lh, rh, rep_cnt) = c2
             active = i < length
             in_prefix = active & (i < my_lcp) if with_lcp \
@@ -1177,19 +1193,20 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
                     st_row, (pkey & pm_mask).astype(jnp.int32),
                     s_ctx[0], s_ctx[1], b_ctx[0], b_ctx[1], vp, vs, vb, be,
                     cfg.smer_log2_buckets, cfg.bmer_log2_buckets)
-            if cfg.prefix_ramp:
+            if with_ramp:
                 # partial-prefix SIV evidence where no full window exists
                 # yet (mirror of the _window_parts injection; pkey's low 2i
                 # bits are exactly this row's decoded prefix, and repair
-                # never rewrites positions this early)
+                # never rewrites positions this early). Statically compiled
+                # into the EARLY scan segment only (i < siv_len - 1): a
+                # lax.cond here lowered to both-branches-plus-select on
+                # every one of the L*r_pl thin steps (~17% of the whole
+                # decode scan, profile_scan.py)
                 in_ramp = (i >= cfg.prefix_len) & (i < cfg.siv_len - 1)
-                cq = jax.lax.cond(
-                    in_ramp,
-                    lambda: _prefix_ramp_counts_dyn(
-                        cfg, state.siv,
-                        (pkey & ((jnp.uint32(1) << (2 * i).astype(jnp.uint32))
-                                 - 1)).astype(jnp.int32), i),
-                    lambda: jnp.zeros((N, 4), jnp.int32))
+                cq = _prefix_ramp_counts_dyn(
+                    cfg, state.siv,
+                    (pkey & ((jnp.uint32(1) << (2 * i).astype(jnp.uint32))
+                             - 1)).astype(jnp.int32), i)
                 ok = in_ramp & active & (jnp.sum(cq, axis=-1) > 0)
                 cp_, cs_, cb_, fp_, fs_, fb_ = parts
                 parts = (jnp.where(ok[:, None], cq, cp_), cs_, cb_,
@@ -1274,9 +1291,25 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
         zeros_i = jnp.zeros((N,), jnp.int32)
         inner0 = (x, ptr, pkey, slo, shi, blo, bhi, rregs,
                   jnp.full((N,), LH_RESET, jnp.int32), zeros_i, zeros_i)
-        (x, ptr, pkey, slo, shi, blo, bhi, rregs, _, _, _), ys = jax.lax.scan(
-            inner, inner0, jnp.arange(L, dtype=jnp.int32),
-            unroll=min(DECODE_UNROLL, L))
+        split = min(cfg.siv_len - 1, L) if cfg.prefix_ramp else 0
+        if 0 < split < L:
+            # early segment carries the ramp lookup, the rest never can
+            c_mid, ys_a = jax.lax.scan(
+                mk_inner(True), inner0, jnp.arange(split, dtype=jnp.int32),
+                unroll=min(DECODE_UNROLL, split))
+            c_end, ys_b = jax.lax.scan(
+                mk_inner(False), c_mid,
+                jnp.arange(split, L, dtype=jnp.int32),
+                unroll=min(DECODE_UNROLL, L - split))
+            ys = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
+                              ys_a, ys_b)
+            (x, ptr, pkey, slo, shi, blo, bhi, rregs, _, _, _) = c_end
+        else:
+            (x, ptr, pkey, slo, shi, blo, bhi, rregs, _, _, _), ys = \
+                jax.lax.scan(
+                    mk_inner(split > 0), inner0,
+                    jnp.arange(L, dtype=jnp.int32),
+                    unroll=min(DECODE_UNROLL, L))
         base_r = ys[0].T                       # [L, N] -> [N, L]
         eff_r = ys[1].T
         ctx_r = ys[2].T

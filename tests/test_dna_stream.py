@@ -64,7 +64,8 @@ def test_dna_roundtrip_mix():
     R, L = 16, 50
     enc_state = dna.dna_state_create(cfg)
     dec_state = dna.dna_state_create(cfg)
-    assert enc_state.cmodel is not None
+    # merged model array: coarse family rows live behind the fine rows
+    assert enc_state.model.shape[0] == dna.N_MODEL_CTX + dna.N_COARSE_CTX
     genome = None
     for b in range(3):
         lengths = rng.integers(30, L + 1, size=R)
@@ -80,8 +81,9 @@ def test_dna_roundtrip_mix():
         np.testing.assert_array_equal(np.where(mask, out, 0),
                                       np.where(mask, codes, 0))
         assert int(ptr) == int(n_words)
-        np.testing.assert_array_equal(np.asarray(enc_state.cmodel),
-                                      np.asarray(dec_state.cmodel))
+        np.testing.assert_array_equal(
+            np.asarray(enc_state.model[dna.N_MODEL_CTX:]),
+            np.asarray(dec_state.model[dna.N_MODEL_CTX:]))
 
 
 def test_dna_learning_reduces_size():

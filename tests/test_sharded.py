@@ -72,8 +72,7 @@ def test_sharded_matches_local_modeling():
     # sharded run: dp=2, tp=4
     mesh = sharded.make_mesh(8, tp=4)
     state_s = pipeline.state_create(dcfg, qcfg, icfg)
-    sspec = sharded.state_specs(qcfg is not None, icfg is not None,
-                                dcfg.mix_w > 0)
+    sspec = sharded.state_specs(qcfg is not None, icfg is not None)
     state_s = jax.device_put(
         state_s, jax.tree.map(lambda s: NamedSharding(mesh, s), sspec,
                               is_leaf=lambda x: isinstance(x, P)))
@@ -121,8 +120,7 @@ def test_multichip_two_batch_chain():
     b1 = ge._tiny_batch(icfg, R=R, L=L, seed=1)
 
     state = pipeline.state_create(dcfg, qcfg, icfg)
-    sspec = sharded.state_specs(qcfg is not None, icfg is not None,
-                                dcfg.mix_w > 0)
+    sspec = sharded.state_specs(qcfg is not None, icfg is not None)
     state = jax.device_put(
         state, jax.tree.map(lambda s: NamedSharding(mesh, s), sspec,
                             is_leaf=lambda x: isinstance(x, P)))

@@ -141,12 +141,13 @@ def main():
                               act.reshape(-1))
     t_chain("model_update (fine, 410k ev)", f_model, st.model, n_pos)
 
-    cctx = dna._coarse_ctx(ctx)
+    cctx = dna.N_MODEL_CTX + dna._coarse_ctx(ctx)
 
     def f_cmodel(s):
         return M.model_update(s, cctx.reshape(-1), sym.reshape(-1),
                               act.reshape(-1))
-    t_chain("model_update (coarse, 410k ev)", f_cmodel, st.cmodel, n_pos)
+    t_chain("model_update (coarse via merged, 410k ev)", f_cmodel, st.model,
+            n_pos)
 
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     active = pos < lengths[:, None]
@@ -242,7 +243,7 @@ def main():
           (st, codes, eff, lengths))
 
     cfg_nomix = dna.DnaConfig(**{**dcfg.__dict__, "mix_w": 0})
-    st_nomix = st._replace(cmodel=None)
+    st_nomix = st
 
     def f_modeling_nm(s, st_, codes, eff, lengths):
         ctx2, sym2, f2, c2, _ = dna.dna_modeling(
