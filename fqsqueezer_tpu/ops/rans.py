@@ -307,10 +307,16 @@ def cdf_lookup(cdf: jax.Array, slots: jax.Array):
         over real symbols).
       slots: [N] int32.
     Returns: (sym [N] int32, freq [N] int32, cum [N] int32).
-    """
+
+    cum/freq come from masked reductions over the (narrow) cdf row instead
+    of take_along_axis: a take_along lowers to a gather, and the decode
+    scan's per-lane cost is gather-EVENT bound (~12 ns/event on the engine,
+    round-4 lane probe) — two compare/select sweeps over A+1 lanes-wide
+    columns are VPU-cheap by comparison."""
     # sym = number of cdf boundaries <= slot, minus 1
-    le = (cdf[:, 1:] <= slots[:, None]).astype(jnp.int32)
-    sym = jnp.sum(le, axis=1)
-    cum = jnp.take_along_axis(cdf, sym[:, None], axis=1)[:, 0]
-    nxt = jnp.take_along_axis(cdf, sym[:, None] + 1, axis=1)[:, 0]
+    le = cdf[:, 1:] <= slots[:, None]                  # [N, A]
+    sym = jnp.sum(le.astype(jnp.int32), axis=1)
+    # cum = largest boundary <= slot; nxt = smallest boundary > slot
+    cum = jnp.max(jnp.where(le, cdf[:, 1:], 0), axis=1)   # 0 when sym == 0
+    nxt = jnp.min(jnp.where(le, cdf.shape[1] << 16, cdf[:, 1:]), axis=1)
     return sym, nxt - cum, cum

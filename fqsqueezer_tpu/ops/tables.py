@@ -372,7 +372,16 @@ def table_update(tc: jax.Array, lo: jax.Array, hi: jax.Array,
 # encode scan and the decode scan). A u16 wrap needs 65536 occurrences of
 # one k-mer — and would be deterministic and replayed identically anyway.
 
-KW = BUCKET + BUCKET // 2   # row width: 8 tags + 4 u16x2-packed count words
+KBUCKET = 4                 # cells per canonical-table bucket row: a row is
+#                             [KBUCKET tags | KBUCKET u16 slot counters packed
+#                             2-per-u32]. 4 cells (24 B rows) instead of the
+#                             legacy 8 (48 B): the decode scan is gather-byte /
+#                             width bound (lane-scaling probe, round 4), and
+#                             the two k-mer table rows are its fattest reads.
+#                             Capacity is kept by one extra bucket bit
+#                             (params.adjust_kmer_sizes) — same cell count,
+#                             half the bytes per find.
+KW = KBUCKET + KBUCKET // 2  # row width in u32 words
 
 
 def ktable_create(log2_buckets: int):
@@ -402,11 +411,11 @@ def ktable_find(tc: jax.Array, bkt: jax.Array, tags4: jax.Array,
         log2_base = log2_buckets
     b = kbucket_of(tags4[..., 0], bkt, log2_buckets, log2_base)
     row = tc[b]                                     # [..., KW]
-    tags_r = row[..., :BUCKET]
-    match = tags_r[..., None, :] == tags4[..., :, None]   # [..., 4, BUCKET]
-    w = row[..., BUCKET:]                           # [..., BUCKET//2]
+    tags_r = row[..., :KBUCKET]
+    match = tags_r[..., None, :] == tags4[..., :, None]  # [..., 4, KBUCKET]
+    w = row[..., KBUCKET:]                          # [..., KBUCKET//2]
     cnt16 = jnp.stack([w & jnp.uint32(0xFFFF), w >> 16], axis=-1).reshape(
-        row.shape[:-1] + (BUCKET,)).astype(jnp.int32)
+        row.shape[:-1] + (KBUCKET,)).astype(jnp.int32)
     # clip to the u8 saturation ceiling at READ time (counters only grow,
     # so this is exactly the old saturating-add fold's observable value)
     cnt = jnp.minimum(cnt16, 255)
@@ -438,9 +447,9 @@ def ktable_update(tc: jax.Array, bkt: jax.Array, tag: jax.Array,
     spread = jnp.arange(tag.shape[0], dtype=jnp.int32) & (n_buckets - 1)
     bkt = jnp.where(valid, bkt, spread)
 
-    weights = (jnp.int32(1) << jnp.arange(BUCKET, dtype=jnp.int32))[None, :]
+    weights = (jnp.int32(1) << jnp.arange(KBUCKET, dtype=jnp.int32))[None, :]
     row = tc[bkt]
-    tags_r = row[:, :BUCKET]
+    tags_r = row[:, :KBUCKET]
     match = tags_r == tag[:, None]
     found = jnp.any(match, axis=1) & valid
     cell = jnp.argmax(match, axis=1)
@@ -449,15 +458,15 @@ def ktable_update(tc: jax.Array, bkt: jax.Array, tag: jax.Array,
     # rotation mixes the low (end-letter slot) bits in: same-middle k-mers
     # — exactly the common genomic-variant case under the mid-hash|slot tag
     # scheme — must pick DIFFERENT claim slots in the same batch
-    j = ((tag >> 13) ^ tag).astype(jnp.int32) & (BUCKET - 1)
-    rot = ((bm >> j) | (bm << (BUCKET - j))) & ((1 << BUCKET) - 1)
-    slot = (j + _ctz(rot)) & (BUCKET - 1)
+    j = ((tag >> 13) ^ tag).astype(jnp.int32) & (KBUCKET - 1)
+    rot = ((bm >> j) | (bm << (KBUCKET - j))) & ((1 << KBUCKET) - 1)
+    slot = (j + _ctz(rot)) & (KBUCKET - 1)
     tc = tc.at[jnp.where(want, bkt, n_buckets), slot].max(tag, mode="drop")
     dcell = jnp.where(found, cell, slot)
     ok = found | want
     inc = jnp.uint32(1) << ((dcell & 1) << 4).astype(jnp.uint32)
     return tc.at[jnp.where(ok, bkt, n_buckets),
-                 BUCKET + (dcell >> 1)].add(inc, mode="drop")
+                 KBUCKET + (dcell >> 1)].add(inc, mode="drop")
 
 
 def ktable_grow(tc: jax.Array, log2_base: int):
@@ -466,14 +475,14 @@ def ktable_grow(tc: jax.Array, log2_base: int):
     with it (count words are repacked per destination)."""
     n_buckets = tc.shape[0]
     log2b = n_buckets.bit_length() - 1
-    tags = tc[:, :BUCKET]
-    w = tc[:, BUCKET:]                                   # [B, BUCKET//2]
+    tags = tc[:, :KBUCKET]
+    w = tc[:, KBUCKET:]                                  # [B, KBUCKET//2]
     cnt16 = jnp.stack([w & jnp.uint32(0xFFFF), w >> 16], axis=-1).reshape(
-        n_buckets, BUCKET)
+        n_buckets, KBUCKET)
     grow_bit = ((tags >> (23 + log2b - log2_base)) & 1).astype(jnp.int32)
     new_bkt = jnp.arange(n_buckets, dtype=jnp.int32)[:, None] \
         + grow_bit * n_buckets
-    slot = jnp.broadcast_to(jnp.arange(BUCKET, dtype=jnp.int32)[None, :],
+    slot = jnp.broadcast_to(jnp.arange(KBUCKET, dtype=jnp.int32)[None, :],
                             tags.shape)
     live = tags != EMPTY
     flat_t = jnp.where(live, new_bkt * KW + slot, 2 * n_buckets * KW)
@@ -481,7 +490,7 @@ def ktable_grow(tc: jax.Array, log2_base: int):
     new = new.at[flat_t.reshape(-1)].set(tags.reshape(-1), mode="drop")
     # counts: each destination u16 half written by exactly one source cell,
     # so a shifted scatter-ADD assembles the packed words exactly
-    flat_c = jnp.where(live, new_bkt * KW + BUCKET + (slot >> 1),
+    flat_c = jnp.where(live, new_bkt * KW + KBUCKET + (slot >> 1),
                        2 * n_buckets * KW)
     cval = cnt16 << (16 * (slot & 1)).astype(jnp.uint32)
     new = new.at[flat_c.reshape(-1)].add(cval.reshape(-1), mode="drop")
@@ -495,15 +504,15 @@ def ktable_clamp(tc: jax.Array) -> jax.Array:
     counter reaching 0xFFFF would wrap and carry +1 into the adjacent
     slot's packed half (cross-slot pollution on ultra-repetitive corpora).
     Post-clamp headroom is 32767 increments per group per slot."""
-    w = tc[:, BUCKET:]
+    w = tc[:, KBUCKET:]
     lo = jnp.minimum(w & jnp.uint32(0xFFFF), jnp.uint32(0x8000))
     hi = jnp.minimum(w >> 16, jnp.uint32(0x8000))
-    return jnp.concatenate([tc[:, :BUCKET], lo | (hi << 16)], axis=1)
+    return jnp.concatenate([tc[:, :KBUCKET], lo | (hi << 16)], axis=1)
 
 
 def ktable_fill_stats(tc: jax.Array):
-    used = jnp.sum((tc[:, :BUCKET] != EMPTY).astype(jnp.int32))
-    return used, tc.shape[0] * BUCKET
+    used = jnp.sum((tc[:, :KBUCKET] != EMPTY).astype(jnp.int32))
+    return used, tc.shape[0] * KBUCKET
 
 
 # ---------------------------------------------------------------------------

@@ -120,7 +120,7 @@ class TpBackend:
         counters (2 per u32 word, tables.py KW layout), clipped to the u8
         saturation ceiling at read time, psum'd over tp."""
         idx, own = self._own_bucket(tc_local, bkt)
-        B = tables.BUCKET
+        B = tables.KBUCKET
         row = tc_local[idx]
         match = (row[..., None, :B] == tags4[..., :, None]) \
             & own[..., None, None]

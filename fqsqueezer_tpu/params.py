@@ -185,8 +185,12 @@ class Params:
 
         gbases = self.genome_size * 1_000_000
         want = max(16, min(26, int(math.ceil(math.log2(max(1, gbases) / 4)))))
-        self.smer_log2_buckets = want
-        self.bmer_log2_buckets = want
+        # canonical tables hold 4 cells/bucket (tables.KBUCKET) vs the
+        # legacy 8: one extra bucket bit keeps the cell capacity identical
+        # at half the gather bytes per find
+        extra = 1 if self.dna_canon > 0 else 0
+        self.smer_log2_buckets = min(26 + extra, want + extra)
+        self.bmer_log2_buckets = self.smer_log2_buckets
         self.pe_log2_buckets = max(14, want - 2)
 
     @property

@@ -392,11 +392,12 @@ def grow_tables(dcfg, dna_state, verbosity: int = 0, stats=None):
     if stats is None:
         stats = np.asarray(fill_stats_device(dcfg, dna_state))
     grow_fn = _t.ktable_grow if dcfg.canon else _t.table_grow
+    cells = _t.KBUCKET if dcfg.canon else _t.BUCKET
     for pre, base, used in (("s", dcfg.smer_log2_buckets, int(stats[0])),
                             ("b", dcfg.bmer_log2_buckets, int(stats[1]))):
         tc = getattr(new, pre + "_tc")
         cur = tc.shape[0].bit_length() - 1
-        cap = tc.shape[0] * _t.BUCKET
+        cap = tc.shape[0] * cells
         if verbosity >= 2:
             print(f"  {pre}mer fill: {used}/{cap} ({used / cap:.3f})"
                   f" [2^{cur} buckets]")

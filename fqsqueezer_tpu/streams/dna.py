@@ -353,9 +353,12 @@ def _rank_all(counts):
 
 
 def _rank_of(counts, sym):
-    """Rank of symbol (N -> 4)."""
+    """Rank of symbol (N -> 4). Masked sum over the 4-wide axis instead of
+    take_along_axis: a take_along lowers to a per-element gather, and the
+    decode scan is gather-event bound (see rans.cdf_lookup)."""
     ranks = _rank_all(counts)
-    r = jnp.take_along_axis(ranks, jnp.minimum(sym, 3)[..., None], axis=-1)[..., 0]
+    s4 = jnp.minimum(sym, 3)[..., None]
+    r = jnp.sum(jnp.where(jnp.arange(4) == s4, ranks, 0), axis=-1)
     return jnp.where(sym >= 4, 4, r)
 
 
@@ -392,15 +395,15 @@ def _best_base(counts):
     Returns (best_base, best_count)."""
     key = (counts << 2) + (3 - jnp.arange(4, dtype=jnp.int32))
     best = jnp.argmax(key, axis=-1).astype(jnp.int32)
-    bestc = jnp.take_along_axis(counts, best[..., None], axis=-1)[..., 0]
+    bestc = jnp.max(counts, axis=-1)
     return best, bestc
 
 
 def _repair_trigger(counts, level, base):
     """True where the repair rule fires: confident context (>= smer level),
     actual base unseen, best base well-supported and different."""
-    cb = jnp.take_along_axis(counts, jnp.minimum(base, 3)[..., None],
-                             axis=-1)[..., 0]
+    b4 = jnp.minimum(base, 3)[..., None]
+    cb = jnp.sum(jnp.where(jnp.arange(4) == b4, counts, 0), axis=-1)
     cb = jnp.where(base >= 4, 0, cb)
     best, bestc = _best_base(counts)
     kc = jnp.where(base >= 4, 0, base)

@@ -79,7 +79,8 @@ def test_ktable_counts_exact_and_order_independent():
     # duplicate a subset with known multiplicity
     seqs[100:200] = seqs[0:100]
     seqs[200:250] = seqs[0:50]
-    log2b = 9
+    log2b = 10   # 4-cell buckets (tables.KBUCKET): one extra bucket bit
+    #              keeps cell capacity at the old 8-cell/2^9 level
     kc = jnp.asarray(seqs, jnp.int32)
     c_lo, c_hi = kmers.pack_windows(kc, k - 1)
     c_lo = kmers.shift_right(c_lo, 1)[:, k - 1]
@@ -108,7 +109,10 @@ def test_ktable_counts_exact_and_order_independent():
     # fused-claim property; it re-inserts on a later occurrence) — rare,
     # deterministic, and replayed identically by the decoder
     f = np.asarray(found[0])
-    assert np.mean(f) >= 0.95
+    # 4-slot buckets raise same-batch claim contention vs the old 8-slot
+    # rows; drops self-heal on later occurrences (measured +0.01% archive
+    # bytes on the 100k bench corpus — see BASELINE.md round-4 notes)
+    assert np.mean(f) >= 0.9
     # >= 3 among found; == 3 except where a losing key polluted the winner's
     # counters (the documented optimistic-claim property)
     assert np.all(got[f] >= 3)
