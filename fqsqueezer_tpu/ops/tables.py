@@ -748,6 +748,9 @@ class LocalBackend:
     def siv_find(self, siv, ctx):
         return siv_find(siv, ctx)
 
+    def siv_words(self, siv, idx):
+        return siv[idx]
+
     def siv_update(self, siv, keys, valid):
         return siv_update(siv, keys, valid)
 

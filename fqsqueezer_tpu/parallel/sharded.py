@@ -60,6 +60,16 @@ class TpBackend:
         c4 = jnp.where(mask[..., None], c4, 0)
         return jax.lax.psum(c4, self.axis)
 
+    def siv_words(self, siv_local, idx):
+        """Raw packed SIV words at global indices (the prefix-ramp range
+        reads): non-owned indices read as 0 and the halves psum."""
+        n_local = siv_local.shape[0]
+        my = jax.lax.axis_index(self.axis)
+        local = idx - my * n_local
+        own = (local >= 0) & (local < n_local)
+        w = siv_local[jnp.where(own, local, idx & (n_local - 1))]
+        return jax.lax.psum(jnp.where(own, w, jnp.uint32(0)), self.axis)
+
     def siv_update(self, siv_local, keys, valid):
         n_local = siv_local.shape[0]
         my = jax.lax.axis_index(self.axis)
@@ -177,12 +187,21 @@ def _grids_step(dcfg, qcfg, mcfg, icfg, be, state, codes, kcodes, lengths,
         jnp.ones(g(m_ctx).size, dtype=bool))
 
     # DNA (kcodes -> repaired effective kcodes, dna.dna_effective_kcodes).
-    # In-batch local statistics are per-dp-shard (each shard's decode
-    # scan covers the same read range), so they need no collectives.
-    eff = dna.dna_effective_kcodes(dcfg, state.dna, codes, kcodes,
-                                   lengths, be)
-    ctx, sym, f, c, active = dna.dna_modeling(
-        dcfg, state.dna, codes, eff, lengths, be, lcp)
+    # In-batch statistics are per-dp-shard (each shard's decode scan
+    # covers the same read range), so they need no collectives. Under
+    # row_global the row scan carries this shard's COPY of the tp-sharded
+    # tables (row-fresh repair + cascade, like the reference's per-thread
+    # local deltas); the carried tables are DISCARDED — the authoritative
+    # evolution is the batch-level collect on the frozen state below,
+    # which every device computes identically from the gathered batch.
+    if dcfg.row_global:
+        eff, ctx, sym, f, c, active, _, _ = dna.dna_process_batch_rg(
+            dcfg, state.dna, codes, kcodes, lengths, be, lcp)
+    else:
+        eff = dna.dna_effective_kcodes(dcfg, state.dna, codes, kcodes,
+                                       lengths, be)
+        ctx, sym, f, c, active = dna.dna_modeling(
+            dcfg, state.dna, codes, eff, lengths, be, lcp)
     d_state = dna.dna_collect_updates(
         dcfg, state.dna, g(codes), g(eff), g(lengths),
         g(ctx), g(sym), g(active), be)

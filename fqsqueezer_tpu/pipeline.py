@@ -39,10 +39,13 @@ class CodecState(NamedTuple):
 
 def make_configs(p: Params):
     is_pe = p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
-    # row-global table updates replace the in-batch local tables outright;
-    # the mesh path keeps the legacy protocol for now (its tables are
-    # tp-sharded / dp-replicated with batch-level exchange)
-    row_global = (p.dna_row_global > 0 and p.mesh_dp <= 1 and p.mesh_tp <= 1)
+    # row-global table updates replace the in-batch local tables outright.
+    # On a mesh, each dp shard's row scan carries its OWN copy of the
+    # tp-sharded tables (shard-local freshness — the analog of the
+    # reference's per-thread local deltas, dna.cpp:95-107), and the
+    # authoritative cross-batch evolution is the batch-level collect on the
+    # frozen state, identical on every device (sharded._grids_step).
+    row_global = p.dna_row_global > 0
     dcfg = dna.DnaConfig(
         siv_len=p.siv_len, smer_len=p.smer_len, bmer_len=p.bmer_len,
         prefix_len=p.prefix_len, scale_bits=p.scale_bits, n_lanes=p.n_lanes,
@@ -58,12 +61,9 @@ def make_configs(p: Params):
         local_lite=p.dna_local_lite > 0,
         local_rc=p.dna_local_rc > 0,
         pmer_gate=p.dna_pmer_gate,
-        # prefix ramp reads the dense SIV by raw index range; the mesh path
-        # shards the SIV over tp, so (like the PE anchor machinery) the flag
-        # only takes effect on single-chip archives — the header records
-        # what the writer actually did either way
-        prefix_ramp=(p.dna_prefix_ramp > 0
-                     and p.mesh_dp <= 1 and p.mesh_tp <= 1),
+        # prefix ramp range-reads go through be.siv_words (tp shards mask
+        # and psum), so the flag holds on any mesh
+        prefix_ramp=p.dna_prefix_ramp > 0,
         sorted_ctx=(p.dna_sorted_ctx > 0
                     and p.dna_mode in (DnaMode.SE_SORTED, DnaMode.PE_SORTED)),
         # anchor machinery on the single-chip PE path only (the mesh path

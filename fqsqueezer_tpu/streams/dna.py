@@ -418,7 +418,7 @@ def _ramp_cols(cfg):
     return list(range(cfg.prefix_len, cfg.siv_len - 1))
 
 
-def _prefix_ramp_counts(cfg, siv, kcodes, q: int):
+def _prefix_ramp_counts(cfg, be, siv, kcodes, q: int):
     """[R, 4] summed SIV counts of all siv_len-mers whose first q bases are
     the read prefix kcodes[:, :q] and whose base q is the candidate — the
     TPU analog of the reference's partial-kmer pmer query (find_counts_p,
@@ -435,11 +435,11 @@ def _prefix_ramp_counts(cfg, siv, kcodes, q: int):
     start = ((pfx[:, None] << 2) + jnp.arange(4, dtype=jnp.int32)[None, :]
              ) << (2 * free)                                        # [R, 4]
     idx = start[:, :, None] + jnp.arange(nw, dtype=jnp.int32)[None, None, :]
-    c = tables.unpack_counts(siv[idx])                              # [R,4,nw,4]
+    c = tables.unpack_counts(be.siv_words(siv, idx))                # [R,4,nw,4]
     return jnp.minimum(jnp.sum(c, axis=(2, 3)), 255)
 
 
-def _prefix_ramp_counts_dyn(cfg, siv, pfx, i):
+def _prefix_ramp_counts_dyn(cfg, be, siv, pfx, i):
     """_prefix_ramp_counts with a TRACED position i (decode scan): fixed
     max-width gather, words beyond the true 4^(siv_len-2-i) range masked.
     pfx: [N] int32 packed first-i decoded bases."""
@@ -451,7 +451,7 @@ def _prefix_ramp_counts_dyn(cfg, siv, pfx, i):
     w = jnp.arange(nw_max, dtype=jnp.int32)[None, None, :]
     valid = w < (jnp.int32(1) << free)
     idx = jnp.where(valid, start[:, :, None] + w, 0)
-    c = tables.unpack_counts(siv[idx])                # [N, 4, nw_max, 4]
+    c = tables.unpack_counts(be.siv_words(siv, idx))  # [N, 4, nw_max, 4]
     c = jnp.where(valid[..., None], c, 0)
     return jnp.minimum(jnp.sum(c, axis=(2, 3)), 255)
 
@@ -504,7 +504,7 @@ def _window_parts(cfg, state, kcodes, lengths, be=tables.LOCAL,
         if cfg.prefix_ramp:
             cp, cs, cb, fp, fs, fb = parts
             for q in _ramp_cols(cfg):
-                cq = _prefix_ramp_counts(cfg, state.siv, kcodes, q)
+                cq = _prefix_ramp_counts(cfg, be, state.siv, kcodes, q)
                 ok = (jnp.sum(cq, axis=-1) > 0) & active[:, q]
                 cp = cp.at[:, q].set(jnp.where(ok[:, None], cq, cp[:, q]))
                 fp = fp.at[:, q].set(fp[:, q] | ok)
@@ -975,6 +975,21 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
         # row-global mode: the s/b tables already evolved inside the row
         # scan (dna_process_batch_rg / the decode scan's row boundaries)
         s_tc, b_tc = state.s_tc, state.b_tc
+    elif cfg.row_global:
+        # mesh row-global: the authoritative s/b evolution replays the
+        # batch's row blocks IN ORDER — the exact event sequence the
+        # single-chip row-global scan applies — so a dp=1/tp=N mesh
+        # reproduces the local tables bit-for-bit (slot claims included)
+        # and every dp replica computes the identical result from the
+        # gathered batch.
+        rb = partial(common.to_row_blocks, n_lanes=cfg.n_lanes)
+
+        def sb_step(carry, x):
+            kc_r, act_r = x
+            return _apply_sb_updates(cfg, be, *carry, kc_r, act_r), ()
+
+        (s_tc, b_tc), _ = jax.lax.scan(
+            sb_step, (state.s_tc, state.b_tc), (rb(kcodes), rb(active)))
     else:
         s_tc, b_tc = _apply_sb_updates(cfg, be, state.s_tc, state.b_tc,
                                        kcodes, active)
@@ -1207,7 +1222,7 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
                 # decode scan, profile_scan.py)
                 in_ramp = (i >= cfg.prefix_len) & (i < cfg.siv_len - 1)
                 cq = _prefix_ramp_counts_dyn(
-                    cfg, state.siv,
+                    cfg, be, state.siv,
                     (pkey & ((jnp.uint32(1) << (2 * i).astype(jnp.uint32))
                              - 1)).astype(jnp.int32), i)
                 ok = in_ramp & active & (jnp.sum(cq, axis=-1) > 0)

@@ -42,7 +42,7 @@ def test_ramp_counts_match_bruteforce():
     R, L = 4, 20
     kcodes = jnp.asarray(rng.integers(0, 4, size=(R, L)).astype(np.int32))
     for q in dna._ramp_cols(cfg):
-        got = np.asarray(dna._prefix_ramp_counts(cfg, siv, kcodes, q))
+        got = np.asarray(dna._prefix_ramp_counts(cfg, tables.LOCAL, siv, kcodes, q))
         for r in range(R):
             pfx = 0
             for j in range(q):
@@ -66,9 +66,9 @@ def test_ramp_dyn_matches_static():
     kcodes = jnp.asarray(rng.integers(0, 4, size=(R, L)).astype(np.int32))
     w = 4 ** jnp.arange(L - 1, -1, -1, dtype=jnp.int32)
     for q in dna._ramp_cols(cfg):
-        static = np.asarray(dna._prefix_ramp_counts(cfg, siv, kcodes, q))
+        static = np.asarray(dna._prefix_ramp_counts(cfg, tables.LOCAL, siv, kcodes, q))
         pfx = jnp.sum(kcodes[:, :q] * w[L - q:], axis=1)
         dyn = np.asarray(jax.jit(
-            lambda s, p, i: dna._prefix_ramp_counts_dyn(cfg, s, p, i)
+            lambda s, p, i: dna._prefix_ramp_counts_dyn(cfg, tables.LOCAL, s, p, i)
         )(siv, pfx, jnp.int32(q)))
         np.testing.assert_array_equal(dyn, static, err_msg=f"q={q}")

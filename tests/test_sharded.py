@@ -35,10 +35,14 @@ def test_dryrun_roundtrip_8dev():
 def test_sharded_matches_local_modeling():
     """tp-sharded table find/update must agree with the local backend.
 
-    Uses original order: in sorted mode the LCP is lane-relative, and lane
-    geometry differs between a 1-shard and a dp-shard run (like the
-    reference's thread count baked into the archive, params.h:87), so
-    streams/models legitimately diverge there.
+    dp=1 / tp=8: pure table sharding is semantics-preserving, so the full
+    round-4 feature set (canon + row_global + prefix ramp) must reproduce
+    the single-chip state BIT-FOR-BIT — finds psum to the local answer,
+    ownership-masked updates partition the buckets, and the batch-level
+    row-block replay applies the exact event sequence of the local
+    row-global scan. dp>1 legitimately diverges (row-fresh statistics see
+    per-shard row histories, like the reference's thread count baked into
+    the archive, params.h:87) and is covered by the roundtrip tests below.
     """
     import __graft_entry__ as ge
     from fqsqueezer_tpu.params import DnaMode
@@ -46,7 +50,7 @@ def test_sharded_matches_local_modeling():
 
     # mesh_dp/tp set BEFORE make_configs: the mesh feature gating has one
     # owner, and the canon k-mer protocol (the round-3 default) is covered
-    p, _ = ge._tiny_cfgs(mesh_dp=2, mesh_tp=4)
+    p, _ = ge._tiny_cfgs(mesh_dp=1, mesh_tp=8)
     p.dna_mode = DnaMode.SE_ORIGINAL
     dcfg, qcfg, mcfg, icfg = pl.make_configs(p)
     rng = np.random.default_rng(5)
@@ -69,8 +73,8 @@ def test_sharded_matches_local_modeling():
         jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(qsyms),
         tuple(jnp.asarray(a) for a in id_np))
 
-    # sharded run: dp=2, tp=4
-    mesh = sharded.make_mesh(8, tp=4)
+    # sharded run: dp=1, tp=8
+    mesh = sharded.make_mesh(8, tp=8)
     state_s = pipeline.state_create(dcfg, qcfg, icfg)
     sspec = sharded.state_specs(qcfg is not None, icfg is not None)
     state_s = jax.device_put(
