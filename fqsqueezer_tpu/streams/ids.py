@@ -134,14 +134,18 @@ def detokenize(template, vals) -> bytes:
 
 
 def count_fields(ids) -> int:
-    """Per-file numeric-field count (template width), capped at F_CAP."""
+    """Per-file numeric-field count (template width), capped at F_CAP.
+    Vectorized in chunks (one _ids_struct numpy pass per 64k ids)."""
     mx = 1
-    for s in ids:
-        _, v = tokenize_id(s)
-        if len(v) > mx:
-            mx = len(v)
-            if mx >= F_CAP:
-                return F_CAP
+    CH = 65536
+    for i in range(0, len(ids), CH):
+        chunk = ids[i:i + CH]
+        M = max((len(s) for s in chunk), default=1) or 1
+        nfields = _ids_struct(chunk, M)[5]
+        if nfields.size:
+            mx = max(mx, int(nfields.max()))
+        if mx >= F_CAP:
+            return F_CAP
     return mx
 
 
@@ -178,9 +182,11 @@ def mesh_read_lanes(R: int, dp: int, n_lanes: int) -> np.ndarray:
     return np.arange(R) // (R // dp)
 
 
-def encode_ids_host(ids, lanes: np.ndarray, F: int, M: int, chain: list,
-                    n_valid: int | None = None):
-    """Tokenize one (padded) batch of ids against the per-lane chains.
+def encode_ids_host_ref(ids, lanes: np.ndarray, F: int, M: int, chain: list,
+                        n_valid: int | None = None):
+    """Scalar reference tokenizer (the spec): one Python iteration per read.
+    encode_ids_host is the vectorized production path; tests assert they
+    produce identical planes and chain states on adversarial corpora.
     lanes: [R] chain index per read (read_lanes / mesh layout).
     chain: list per lane of (template, values) or None — MUTATED in place
     (the decoder replays the identical updates). n_valid (codec v2): rows
@@ -258,9 +264,9 @@ def _delta_of(sym: int, mag_row) -> int:
     return m if sym % 2 == 1 else -m
 
 
-def decode_ids_host(flag, dsym, dmag, emat, elens, lanes: np.ndarray,
-                    chain: list, n_valid: int | None = None) -> list:
-    """Inverse of encode_ids_host (same chain discipline)."""
+def decode_ids_host_ref(flag, dsym, dmag, emat, elens, lanes: np.ndarray,
+                        chain: list, n_valid: int | None = None) -> list:
+    """Scalar reference detokenizer (spec for decode_ids_host)."""
     R = flag.shape[0]
     out = []
     if n_valid is not None and n_valid < R:
@@ -281,6 +287,265 @@ def decode_ids_host(flag, dsym, dmag, emat, elens, lanes: np.ndarray,
         chain[lane] = (t, v)
         out.append(s)
     return out + out_pad
+
+
+# ---------------------------------------------------------------------------
+# vectorized host codec (WGS-scale: numpy passes; Python only per shard /
+# per escape / per distinct number-width layout — VERDICT r3 #10)
+# ---------------------------------------------------------------------------
+
+_POW10 = 10 ** np.arange(19, dtype=np.int64)
+
+def _ids_struct(ids, M: int):
+    """One numpy pass over a batch of id byte strings: padded byte matrix,
+    per-row numeric values, and an alignment-independent template SKELETON —
+    literal bytes (including >9-digit runs, which tokenize_id keeps as
+    literals) with each narrow (<=9 digit) run collapsed to one marker byte:
+    0xE0 for a free-width element, 0xE0+w for a fixed-width (leading-zero)
+    element of width w. Ids are ASCII so markers never collide; two ids have
+    equal tokenize_id templates iff their skeletons are equal, even when
+    free-width runs change width ("id.9" vs "id.10").
+
+    Returns (mat [R,M]u8, lens [R], skl [R,M]u8, sklen [R],
+    vals [R,F_CAP]i64, nfields [R])."""
+    R = len(ids)
+    # this numpy build's cumsum/repeat are ~25x slower on int64 inputs, so
+    # every count/length array stays int32 (indices go int64 only at the
+    # final flat-scatter arithmetic)
+    lens = np.fromiter((min(len(s), M) for s in ids), np.int32, R)
+    flat = np.frombuffer(b"".join(s[:M] for s in ids), np.uint8)
+    matf = np.zeros(R * M, np.uint8)
+    row = np.repeat(np.arange(R, dtype=np.int32), lens)
+    col = np.arange(flat.size, dtype=np.int32) - np.repeat(
+        (np.cumsum(lens, dtype=np.int32) - lens), lens)
+    matf[row.astype(np.int64) * M + col] = flat   # flat scatter
+    mat = matf.reshape(R, M)
+    D = (mat >= 48) & (mat <= 57)         # padding bytes are 0: never digits
+    Df = D.ravel()
+    prevD = np.zeros_like(Df)
+    prevD[1:] = Df[:-1]
+    prevD[::M] = False                    # runs never span rows
+    rsf = Df & ~prevD                     # run starts
+    starts = np.flatnonzero(rsf)
+    valsm = np.zeros((R, F_CAP), np.int64)
+    if starts.size == 0:
+        return mat, lens, mat.copy(), lens.copy(), valsm, np.zeros(R, np.int32)
+    nextD = np.zeros_like(Df)
+    nextD[:-1] = Df[1:]
+    nextD[M - 1::M] = False
+    ends = np.flatnonzero(Df & ~nextD)
+    runlen = (ends - starts + 1).astype(np.int32)
+    narrow = runlen <= 9                  # per run; wider stays literal
+    # numeric values on COMPRESSED digit positions (≈len(id) not R*M work);
+    # integer 10**exp is slow per element, so go through a lookup table
+    dpos = np.flatnonzero(Df)
+    rl_d = np.repeat(runlen, runlen)
+    exp = np.clip(rl_d - 1 - (dpos - np.repeat(starts, runlen)),
+                  0, 18).astype(np.int32)
+    contrib = np.where(rl_d <= 9,
+                       (matf[dpos].astype(np.int64) - 48) * _POW10.take(exp),
+                       0)
+    rstart_c = np.cumsum(runlen, dtype=np.int32) - runlen
+    vals_run = np.add.reduceat(contrib, rstart_c)
+    # field index of each narrow run within its row
+    nsf = rsf.copy()
+    nsf[starts] = narrow
+    nstart = nsf.reshape(R, M)
+    nfields = nstart.sum(axis=1, dtype=np.int32)
+    srow = starts // M
+    f_of_run = (np.cumsum(nsf, dtype=np.int32)[starts] - 1
+                - np.concatenate(
+                    [[0], np.cumsum(nfields, dtype=np.int32)[:-1]])[srow])
+    sel = narrow & (f_of_run < F_CAP)
+    valsm[srow[sel], f_of_run[sel]] = vals_run[sel]
+    # skeleton: keep literals + wide-run digits + one marker per narrow run
+    fixed = narrow & (matf[starts] == 48) & (runlen > 1)
+    skel_val = matf.copy()
+    skel_val[starts[narrow]] = (
+        0xE0 + np.where(fixed, runlen, 0)[narrow]).astype(np.uint8)
+    # keep = in-length and (not a digit of a narrow run, except its start)
+    inlenf = (np.arange(M)[None, :] < lens[:, None]).ravel()
+    drop = np.zeros(R * M, bool)
+    drop[dpos] = rl_d <= 9                # narrow-run digits dropped...
+    drop[starts[narrow]] = False          # ...except the marker at the start
+    keepf = inlenf & ~drop
+    kpos = np.flatnonzero(keepf)
+    sklen = keepf.reshape(R, M).sum(axis=1, dtype=np.int32)
+    tcol = (np.cumsum(keepf, dtype=np.int32) - 1)[kpos] - np.concatenate(
+        [[0], np.cumsum(sklen, dtype=np.int32)[:-1]])[kpos // M]
+    skl = np.zeros((R, M), np.uint8)
+    skl.ravel()[(kpos // M) * M + tcol] = skel_val[kpos]
+    return mat, lens, skl, sklen, valsm, nfields
+
+
+def _shard_starts(lanes: np.ndarray, nv: int) -> np.ndarray:
+    ss = np.zeros(nv, bool)
+    if nv:
+        ss[0] = True
+        ss[1:] = lanes[1:nv] != lanes[: nv - 1]
+    return ss
+
+
+def encode_ids_host(ids, lanes: np.ndarray, F: int, M: int, chain: list,
+                    n_valid: int | None = None):
+    """Vectorized encode_ids_host_ref (bit-identical planes + chain states;
+    tests/test_ids.py asserts it): numpy structural template comparison
+    against the previous read, Python only at shard boundaries and for the
+    per-shard chain handoff."""
+    R = len(ids)
+    flag = np.ones(R, np.uint8)
+    dsym = np.zeros((R, F), np.uint8)
+    dmag = np.zeros((R, F, MAGS), np.uint8)
+    emat = np.zeros((R, M), np.uint8)
+    elens = np.zeros(R, np.int32)
+    nv = R if n_valid is None else min(R, n_valid)
+    if n_valid is not None:
+        flag[n_valid:] = 0
+    if nv == 0:
+        return flag, dsym, dmag, emat, elens
+    mat, lens, skl, sklen, valsm, nfields = _ids_struct(ids[:nv], M)
+
+    # template-stable vs previous row == equal skeletons (_ids_struct)
+    fast = np.zeros(nv, bool)
+    if nv > 1:
+        fast[1:] = ((sklen[1:] == sklen[:-1])
+                    & (skl[1:] == skl[:-1]).all(axis=1))
+    fast &= nfields <= F
+    pvals = np.zeros((nv, F_CAP), np.int64)
+    pvals[1:] = valsm[:-1]
+
+    # shard boundaries: compare against the carried chain (Python, one
+    # tokenize per shard)
+    ss = np.flatnonzero(_shard_starts(lanes, nv))
+    for r in ss:
+        prev = chain[lanes[r]]
+        if prev is None:
+            fast[r] = False
+            continue
+        t, v = tokenize_id(ids[r])
+        fast[r] = len(v) <= F and t == prev[0]
+        if fast[r]:
+            pvals[r, : len(prev[1])] = prev[1][:F_CAP]
+
+    d = valsm[:, :F] - pvals[:, :F]
+    infield = np.arange(F)[None, :] < np.minimum(nfields, F)[:, None]
+    d = np.where(infield, d, 0)
+    absd = np.abs(d)
+    big = absd >= 2
+    m = np.where(big, absd - 2, 0)
+    nbcat = np.where(m < 256, 0, np.where(m < 65536, 1, 2))
+    sym = np.where(d == 1, 1, np.where(d == -1, 2, 0)).astype(np.uint8)
+    sym = np.where(big, (np.array([3, 5, 7])[nbcat] + (d < 0)).astype(np.uint8),
+                   sym)
+    mag = ((m[:, :, None] >> (8 * np.arange(MAGS)[None, None, :])) & 0xFF
+           ).astype(np.uint8)
+    mag = np.where(big[:, :, None], mag, 0)
+
+    flag[:nv] = np.where(fast, 0, 1).astype(np.uint8)
+    dsym[:nv] = np.where(fast[:, None], sym, 0)
+    dmag[:nv] = np.where(fast[:, None, None], mag, 0)
+    emat[:nv] = np.where(fast[:, None], 0, mat)
+    elens[:nv] = np.where(fast, 0, lens).astype(np.int32)
+
+    # chain handoff: last valid row of each shard (exact tokenize — the
+    # chain keeps the full template + ALL narrow-run values, even past F)
+    bounds = list(ss) + [nv]
+    for i in range(len(bounds) - 1):
+        r_last = bounds[i + 1] - 1
+        chain[lanes[r_last]] = tokenize_id(ids[r_last])
+    return flag, dsym, dmag, emat, elens
+
+
+def _fmt_block(out, r_lo, template, vals_blk):
+    """Format one delta-block of reads sharing `template` into
+    out[r_lo:r_lo+B]: split into CONTIGUOUS runs of constant per-field
+    decimal widths (a new run only at decade rollovers), one vectorized
+    digit fill + bulk slice conversion per run."""
+    B, nf = vals_blk.shape
+    if nf == 0:
+        out[r_lo:r_lo + B] = [detokenize(template, [])] * B
+        return
+    fixed = np.array([el for el in template if not isinstance(el, bytes)],
+                     np.int64)
+    nd = np.ones_like(vals_blk)
+    for k in range(1, 19):
+        nd += vals_blk >= _POW10[k]
+    widths = np.maximum(nd, fixed[None, :])
+    chg = np.zeros(B, bool)
+    chg[0] = True
+    chg[1:] = (widths[1:] != widths[:-1]).any(axis=1)
+    bounds = list(np.flatnonzero(chg)) + [B]
+    for gi in range(len(bounds) - 1):
+        a, b = bounds[gi], bounds[gi + 1]
+        wv = widths[a]
+        vg = vals_blk[a:b]
+        # skeleton + digit spans for this width layout
+        parts, spans, fi, pos = [], [], 0, 0
+        for el in template:
+            if isinstance(el, bytes):
+                parts.append(np.frombuffer(el, np.uint8))
+                pos += len(el)
+            else:
+                w = int(wv[fi])
+                spans.append((pos, w, fi))
+                parts.append(np.zeros(w, np.uint8))
+                pos += w
+                fi += 1
+        skel = (np.concatenate(parts) if parts
+                else np.zeros(0, np.uint8))
+        blk = np.broadcast_to(skel, (b - a, pos)).copy()
+        for c0, w, f in spans:
+            blk[:, c0:c0 + w] = (vg[:, f, None]
+                                 // _POW10[np.arange(w - 1, -1, -1)][None, :]
+                                 ) % 10 + 48
+        raw = blk.tobytes()
+        out[r_lo + a:r_lo + b] = [raw[k * pos:(k + 1) * pos]
+                                  for k in range(b - a)]
+
+
+def decode_ids_host(flag, dsym, dmag, emat, elens, lanes: np.ndarray,
+                    chain: list, n_valid: int | None = None) -> list:
+    """Vectorized decode_ids_host_ref (identical outputs + chain states):
+    per-shard cumsum of the delta planes between escape rows, Python only
+    per escape row and per distinct width layout (_fmt_block)."""
+    R = flag.shape[0]
+    nv = R if n_valid is None else min(R, n_valid)
+    out = [b""] * R
+    if nv == 0:
+        return out
+    sym = dsym[:nv].astype(np.int64)
+    m = (dmag[:nv].astype(np.int64)
+         << (8 * np.arange(MAGS))[None, None, :]).sum(-1) + 2
+    delta = np.where(sym == 0, 0,
+                     np.where(sym == 1, 1,
+                              np.where(sym == 2, -1,
+                                       np.where(sym % 2 == 1, m, -m))))
+    esc = flag[:nv] > 0
+    ss = list(np.flatnonzero(_shard_starts(lanes, nv))) + [nv]
+
+    def delta_block(a, b, cur):
+        if a >= b:
+            return cur
+        t, pv = cur
+        nf = len(pv)
+        vals = np.asarray(pv, np.int64)[None, :] + np.cumsum(
+            delta[a:b, :nf], axis=0)
+        _fmt_block(out, a, t, vals)
+        return (t, [int(x) for x in vals[-1]] if nf else [])
+
+    for i in range(len(ss) - 1):
+        r0, r1 = ss[i], ss[i + 1]
+        cur = chain[lanes[r0]]
+        prev_end = r0
+        for e in np.flatnonzero(esc[r0:r1]) + r0:
+            cur = delta_block(prev_end, e, cur)
+            s = emat[e, :elens[e]].tobytes()
+            out[e] = s
+            cur = tokenize_id(s)
+            prev_end = e + 1
+        cur = delta_block(prev_end, r1, cur)
+        chain[lanes[r0]] = cur
+    return out
 
 
 def zero_id_batch(R: int):

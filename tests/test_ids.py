@@ -117,3 +117,68 @@ def test_large_delta_magnitudes():
 def test_instrument_prefix():
     idl = [b"M00123:45:ABC.1 x", b"plain", b"a.b.c", b"sp ace"]
     assert ids.instrument_prefix(idl) == [b"M00123", b"plain", b"a", b"sp"]
+
+
+def _adversarial_corpus(rng, n):
+    """Ids exercising every tokenizer edge: counters with decade rollovers,
+    zero-padded fields, template switches, >9-digit runs, empty ids,
+    >F_CAP fields, leading-zero singletons."""
+    out = []
+    c = 95
+    for i in range(n):
+        k = rng.integers(0, 12)
+        c += int(rng.integers(1, 3))
+        if k < 5:
+            out.append(f"SRR105788.{c} {c} length=100".encode())
+        elif k == 5:
+            out.append(f"RUN_{c:06d}:{int(rng.integers(0, 4))}".encode())
+        elif k == 6:
+            out.append(b"")
+        elif k == 7:
+            out.append(f"wide{10**12 + c}end{c}".encode())  # >9-digit run
+        elif k == 8:
+            out.append(b"plaintext-no-digits")
+        elif k == 9:
+            out.append(("f" + ".1" * 14).encode())          # > F_CAP fields
+        elif k == 10:
+            out.append(f"a.0.{c}".encode())                 # "0" singleton
+        else:
+            out.append(f"SRR105788.{c - 1} {c + 7} length=99".encode())
+    return out
+
+
+def test_vectorized_encode_matches_scalar():
+    rng = np.random.default_rng(11)
+    F, M = 4, 48
+    for lanes_kind in ("single", "mesh"):
+        idl = _adversarial_corpus(rng, 400)
+        lanes = (np.zeros(400, np.int64) if lanes_kind == "single"
+                 else np.arange(400) // 100)
+        nlane = 1 if lanes_kind == "single" else 4
+        ch_v = [None] * nlane
+        ch_s = [None] * nlane
+        # two consecutive batches so the chain handoff is exercised
+        for lo, hi, nv in ((0, 200, 192), (200, 400, 200)):
+            batch = idl[lo:hi]
+            ln = lanes[lo:hi] - lanes[lo]
+            got = ids.encode_ids_host(batch, ln, F, M, ch_v, n_valid=nv)
+            want = ids.encode_ids_host_ref(batch, ln, F, M, ch_s, n_valid=nv)
+            for g, w in zip(got, want):
+                np.testing.assert_array_equal(g, w)
+            assert ch_v == ch_s
+
+
+def test_vectorized_decode_matches_scalar():
+    rng = np.random.default_rng(12)
+    F, M = 4, 48
+    idl = _adversarial_corpus(rng, 300)
+    lanes = np.arange(300) // 150
+    enc_chain = [None, None]
+    planes = ids.encode_ids_host(idl, lanes, F, M, enc_chain, n_valid=290)
+    ch_v = [None, None]
+    ch_s = [None, None]
+    got = ids.decode_ids_host(*planes, lanes, ch_v, n_valid=290)
+    want = ids.decode_ids_host_ref(*planes, lanes, ch_s, n_valid=290)
+    assert got == want
+    assert ch_v == ch_s
+    assert got[:290] == idl[:290]
