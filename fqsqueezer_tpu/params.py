@@ -162,6 +162,17 @@ class Params:
     # halving the table-update scatter traffic. Decode-affecting (cell
     # layout + statistics); legacy archives decode with 0.
     dna_canon: int = 1
+    # PE-aware position contexts for the anchored 3-row recoding
+    # (streams/dna.py DnaConfig.pe_pos_ctx): rowA positions use the TRUE
+    # read2 coordinate (anchor start + i, reference compress_suffix start
+    # position, dna.cpp:1595), rowB the reversed-part convention (position
+    # counted back toward read2's start with no end-of-read flag,
+    # determine_ctx_codes(size - i - 1, ..., ~0u), dna.cpp:745-755).
+    # Measured RATIO-NEUTRAL on the 50k-pair bench corpus (uniform 100bp
+    # reads): 1,504,751 B with vs 1,504,594 without (+157 B). Kept as an
+    # archive-header knob for variable-length real data; default off.
+    # Decode-affecting; legacy archives decode with 0.
+    dna_pe_pos_ctx: int = 0
     # row-global s/b-mer updates (streams/dna.py DnaConfig.row_global): the
     # global tables evolve at read-row granularity inside each batch,
     # REPLACING the separate in-batch local tables — same freshness, far
@@ -209,7 +220,7 @@ class Params:
         "dna_mix_w", "dna_mix_b", "dna_sorted_ctx",
         "dna_repair_iters", "dna_claim_rounds", "dna_local_rc",
         "dna_pmer_gate", "dna_siv_cap", "dna_prefix_ramp",
-        "dna_local_lite", "dna_canon", "dna_row_global",
+        "dna_local_lite", "dna_canon", "dna_row_global", "dna_pe_pos_ctx",
     )
 
     # decode-affecting params whose absence in an archive header means the
@@ -220,7 +231,7 @@ class Params:
                    "dna_claim_rounds": 2, "dna_local_rc": 1,
                    "dna_pmer_gate": 0, "dna_siv_cap": 13,
                    "dna_prefix_ramp": 0, "dna_local_lite": 0,
-                   "dna_canon": 0, "dna_row_global": 0}
+                   "dna_canon": 0, "dna_row_global": 0, "dna_pe_pos_ctx": 0}
 
     def store_params(self) -> bytes:
         d = {}

@@ -71,7 +71,8 @@ def make_configs(p: Params):
         # and decode through mesh_pipeline, so the flag matches both sides
         pe_log2_buckets=(p.pe_log2_buckets
                          if is_pe and p.mesh_dp <= 1 and p.mesh_tp <= 1
-                         else 0))
+                         else 0),
+        pe_pos_ctx=p.dna_pe_pos_ctx > 0)
     qmode = p.quality_mode.value
     qcfg = None
     if p.quality_mode != QualityMode.NONE:
@@ -197,13 +198,14 @@ def _model_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes_pack,
         # anchored 3-row recoding: the DNA codec processes codes3, the pair
         # events and output reads stay in true interleaved layout
         (codes3, lengths3, anchor_mask3, lcp3, pe_syms, pe_act, pe_f,
-         pe_c) = dna.dna_pe_encode(dcfg, state.dna, codes, lengths, lcp=lcp)
+         pe_c, pos_map3) = dna.dna_pe_encode(dcfg, state.dna, codes, lengths,
+                                             lcp=lcp)
         kcodes3 = jnp.where(codes3 >= 4, 0, codes3)
         if dcfg.row_global:
             (eff, d_ctx, d_sym, d_f, d_c, d_act, s_tc,
              b_tc) = dna.dna_process_batch_rg(
                 dcfg, state.dna, codes3, kcodes3, lengths3, lcp=lcp3,
-                anchor_mask=anchor_mask3)
+                anchor_mask=anchor_mask3, pos_map=pos_map3)
             d_state = dna.dna_collect_updates(
                 dcfg, state.dna._replace(s_tc=s_tc, b_tc=b_tc), codes3, eff,
                 lengths3, d_ctx, d_sym, d_act, pe_syms=pe_syms, pe_act=pe_act,
@@ -213,7 +215,7 @@ def _model_batch(dcfg, qcfg, mcfg, icfg, state: CodecState, codes_pack,
                 dcfg, state.dna, codes3, kcodes3, lengths3)
             d_ctx, d_sym, d_f, d_c, d_act = dna.dna_modeling(
                 dcfg, state.dna, codes3, eff, lengths3, lcp=lcp3,
-                anchor_mask=anchor_mask3)
+                anchor_mask=anchor_mask3, pos_map=pos_map3)
             d_state = dna.dna_collect_updates(
                 dcfg, state.dna, codes3, eff, lengths3, d_ctx, d_sym, d_act,
                 pe_syms=pe_syms, pe_act=pe_act,

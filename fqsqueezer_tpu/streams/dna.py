@@ -164,6 +164,34 @@ class DnaConfig:
     # Repair runs per row against the row-fresh tables on both sides.
     # Decode-affecting (statistics + repair decisions), in the header.
     row_global: bool = False
+    # PE-aware position contexts for the anchored 3-row recoding
+    # (reference compress_suffix: rowA codes from start_pos = anchor + B in
+    # TRUE read2 coordinates, dna.cpp:1595; the reversed rowB conditions on
+    # the position counted back toward read2's start and never sees an
+    # end-of-read flag, determine_ctx_codes(size - i - 1, ..., ~0u),
+    # dna.cpp:745-755). Off = expanded rows pretend to be fresh reads.
+    # Decode-affecting, in the header (params.dna_pe_pos_ctx).
+    pe_pos_ctx: bool = False
+
+
+# position-bucket "length" for rowB under pe_pos_ctx: large enough that the
+# end-of-read buckets (rem <= 4) can never trigger (the reference's ~0u)
+_PE_NO_END = 1 << 20
+
+
+def _pe_pos_map(lengths, a_start, has, lenB, B):
+    """(off, sign, plen) per EXPANDED row for pe_pos_ctx position buckets:
+    read1 rows keep true coordinates, rowA offsets by the anchor start into
+    read2's frame, rowB counts back toward read2's start (no end flag)."""
+    L1, L2 = lengths[0::2], lengths[1::2]
+    a = jnp.where(has, a_start, 0)
+    z = jnp.zeros_like(L1)
+    one = jnp.ones_like(L1)
+    off3 = jnp.stack([z, a, lenB - 1], axis=1).reshape(-1)
+    sign3 = jnp.stack([one, one, -one], axis=1).reshape(-1)
+    plen3 = jnp.stack(
+        [L1, L2, jnp.full_like(L1, _PE_NO_END)], axis=1).reshape(-1)
+    return off3, sign3, plen3
 
 
 class DnaState(NamedTuple):
@@ -717,8 +745,23 @@ def _letters_plane(codes, pos, pb):
     return lh | (pb << 15)
 
 
+def _pos_buckets(cfg, pos, lens, lcp, pos_map):
+    """[R, L] position buckets, honoring the pe_pos_ctx row coordinate map
+    and the sorted-mode LCP override (mutually exclusive by construction:
+    pos_map rows with lcp > 0 are read1 rows with identity mapping)."""
+    if pos_map is None:
+        pb = _pos_bucket(pos, lens)
+    else:
+        off, sign, plen = pos_map
+        p_eff = jnp.maximum(off[:, None] + sign[:, None] * pos, 0)
+        pb = _pos_bucket(p_eff, plen[:, None])
+    if cfg.sorted_ctx and lcp is not None:
+        pb = _pos_bucket_sorted(pb, pos, lens, lcp[:, None])
+    return pb
+
+
 def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
-                 be=tables.LOCAL, lcp=None, anchor_mask=None):
+                 be=tables.LOCAL, lcp=None, anchor_mask=None, pos_map=None):
     """Compute per-position (ctx, coded symbol, freq, cum) for a whole batch.
 
     codes/kcodes: [R, L] int32; lengths: [R] int32. lcp (sorted mode): [R]
@@ -741,9 +784,7 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
     if anchor_mask is not None:
         # PE anchor span: preset from the candidate value, never coded
         code_active = code_active & ~anchor_mask
-    pb = _pos_bucket(pos, lens)
-    if cfg.sorted_ctx and lcp is not None:
-        pb = _pos_bucket_sorted(pb, pos, lens, lcp[:, None])
+    pb = _pos_buckets(cfg, pos, lens, lcp, pos_map)
     let_ctx = _letters_plane(codes, pos, pb)
 
     parts, _ = _window_parts(cfg, state, kcodes, lengths, be)
@@ -799,7 +840,7 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
 
 def dna_process_batch_rg(cfg: DnaConfig, state: DnaState, codes, kcodes,
                          lengths, be=tables.LOCAL, lcp=None,
-                         anchor_mask=None):
+                         anchor_mask=None, pos_map=None):
     """Row-global encoder pass (cfg.row_global): a scan over the r_pl read
     rows carrying the GLOBAL s/b-mer tables. Per row: greedy repair against
     the row-fresh tables, the cascade find, context/rank modeling against
@@ -816,9 +857,7 @@ def dna_process_batch_rg(cfg: DnaConfig, state: DnaState, codes, kcodes,
     code_active = active if lcp is None else active & (pos >= lcp[:, None])
     if anchor_mask is not None:
         code_active = code_active & ~anchor_mask
-    pb = _pos_bucket(pos, lens)
-    if cfg.sorted_ctx and lcp is not None:
-        pb = _pos_bucket_sorted(pb, pos, lens, lcp[:, None])
+    pb = _pos_buckets(cfg, pos, lens, lcp, pos_map)
     let_ctx = _letters_plane(codes, pos, pb)
 
     N = cfg.n_lanes
@@ -858,7 +897,8 @@ def dna_pe_encode(cfg: DnaConfig, state: DnaState, codes, lengths, lcp=None):
     3-row recoding (expand_pe_rows) that the DNA codec actually processes.
 
     Returns (codes3 [R3, L], lengths3 [R3], anchor_mask3 [R3, L],
-    lcp3 [R3] | None, pe_syms [P, 3], pe_act [P, 3], f [P, 3], c [P, 3])."""
+    lcp3 [R3] | None, pe_syms [P, 3], pe_act [P, 3], f [P, 3], c [P, 3],
+    pos_map3 (off, sign, plen) [R3] each | None)."""
     from . import pe as _pe
 
     B = cfg.bmer_len
@@ -869,6 +909,11 @@ def dna_pe_encode(cfg: DnaConfig, state: DnaState, codes, lengths, lcp=None):
     has = cand_any & (mid < _pe.N_CAND)
     codes3, lengths3 = _pe.expand_pe_rows(codes, lengths, pos, has, B)
     anchor_mask3 = _pe.expand_lengths_mask(codes3.shape[0], L, has, B)
+    pos_map3 = None
+    if cfg.pe_pos_ctx:
+        lenB = jnp.where(has, jnp.minimum(
+            jnp.where(has, pos, 0) + B, lengths[1::2]), 0)
+        pos_map3 = _pe_pos_map(lengths, pos, has, lenB, B)
     lcp3 = None
     if lcp is not None:
         lcp3 = jnp.zeros((codes3.shape[0],), jnp.int32).at[0::3].set(
@@ -881,7 +926,8 @@ def dna_pe_encode(cfg: DnaConfig, state: DnaState, codes, lengths, lcp=None):
     f, c = models.cdf_encode_lookup(cdf, pe_syms)
     f = jnp.where(pe_act, f, 1 << cfg.scale_bits)
     c = jnp.where(pe_act, c, 0)
-    return codes3, lengths3, anchor_mask3, lcp3, pe_syms, pe_act, f, c
+    return (codes3, lengths3, anchor_mask3, lcp3, pe_syms, pe_act, f, c,
+            pos_map3)
 
 
 # ---------------------------------------------------------------------------
@@ -1250,8 +1296,22 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
                 counts, level = counts_g, level_g
 
             use_code = (i >= cfg.prefix_len) & (level > LEVEL_NONE)
-            pb = _pos_bucket(jnp.full_like(level, i),
-                             jnp.broadcast_to(length, level.shape))
+            if with_pe and cfg.pe_pos_ctx:
+                # pe_pos_ctx row coordinate map (mirror of _pe_pos_map):
+                # rowA at true read2 coordinate a+i, rowB counted back
+                # toward read2's start with no end-of-read flag
+                a_off = jnp.where(anc_has, anc_start, 0)
+                pe_pos = jnp.where(k3 == 1, a_off + i,
+                                   jnp.maximum(lenB - 1 - i, 0))
+                pos_i = jnp.where(k3 == 0, i, pe_pos)
+                len_i = jnp.where(k3 == 0, L1,
+                                  jnp.where(k3 == 1, L2,
+                                            jnp.int32(_PE_NO_END)))
+                pb = _pos_bucket(jnp.broadcast_to(pos_i, level.shape),
+                                 jnp.broadcast_to(len_i, level.shape))
+            else:
+                pb = _pos_bucket(jnp.full_like(level, i),
+                                 jnp.broadcast_to(length, level.shape))
             if cfg.sorted_ctx and with_lcp:
                 pb = _pos_bucket_sorted(
                     pb, jnp.full_like(level, i),

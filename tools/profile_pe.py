@@ -68,12 +68,13 @@ def main():
         lcp = None
 
         (codes3, lengths3, anchor_mask3, lcp3, pe_syms, pe_act, pe_f,
-         pe_c) = dna.dna_pe_encode(dcfg, state.dna, codes, lengths, lcp=lcp)
+         pe_c, pos_map3) = dna.dna_pe_encode(dcfg, state.dna, codes, lengths,
+                                             lcp=lcp)
         kcodes3 = jnp.where(codes3 >= 4, 0, codes3)
         (eff, d_ctx, d_sym, d_f, d_c, d_act, s_tc,
          b_tc) = dna.dna_process_batch_rg(
             dcfg, state.dna, codes3, kcodes3, lengths3, lcp=lcp3,
-            anchor_mask=anchor_mask3)
+            anchor_mask=anchor_mask3, pos_map=pos_map3)
         d_state = dna.dna_collect_updates(
             dcfg, state.dna._replace(s_tc=s_tc, b_tc=b_tc), codes3, eff,
             lengths3, d_ctx, d_sym, d_act, pe_syms=pe_syms, pe_act=pe_act,
