@@ -162,6 +162,14 @@ class Params:
     # halving the table-update scatter traffic. Decode-affecting (cell
     # layout + statistics); legacy archives decode with 0.
     dna_canon: int = 1
+    # DNA code-context layout version (streams/dna.py _code_ctx): v2 adds
+    # a previous-position cascade-level class (2 bits) and a causal
+    # repair-recency zone (2 bits, the reference's cor_zone analog,
+    # dna.cpp:741) to the fine context. Measured on the DNA-only SE corpus
+    # (offline oracle/sequential pricing of the dumped (ctx, sym) stream):
+    # current 202.5 KB -> +prevclass+cz 187.9 KB. Decode-affecting;
+    # legacy archives decode with 1.
+    dna_ctx_v: int = 2
     # PE-aware position contexts for the anchored 3-row recoding
     # (streams/dna.py DnaConfig.pe_pos_ctx): rowA positions use the TRUE
     # read2 coordinate (anchor start + i, reference compress_suffix start
@@ -221,6 +229,7 @@ class Params:
         "dna_repair_iters", "dna_claim_rounds", "dna_local_rc",
         "dna_pmer_gate", "dna_siv_cap", "dna_prefix_ramp",
         "dna_local_lite", "dna_canon", "dna_row_global", "dna_pe_pos_ctx",
+        "dna_ctx_v",
     )
 
     # decode-affecting params whose absence in an archive header means the
@@ -231,7 +240,8 @@ class Params:
                    "dna_claim_rounds": 2, "dna_local_rc": 1,
                    "dna_pmer_gate": 0, "dna_siv_cap": 13,
                    "dna_prefix_ramp": 0, "dna_local_lite": 0,
-                   "dna_canon": 0, "dna_row_global": 0, "dna_pe_pos_ctx": 0}
+                   "dna_canon": 0, "dna_row_global": 0, "dna_pe_pos_ctx": 0,
+                   "dna_ctx_v": 1}
 
     def store_params(self) -> bytes:
         d = {}

@@ -72,7 +72,8 @@ def make_configs(p: Params):
         pe_log2_buckets=(p.pe_log2_buckets
                          if is_pe and p.mesh_dp <= 1 and p.mesh_tp <= 1
                          else 0),
-        pe_pos_ctx=p.dna_pe_pos_ctx > 0)
+        pe_pos_ctx=p.dna_pe_pos_ctx > 0,
+        ctx_v=p.dna_ctx_v)
     qmode = p.quality_mode.value
     qcfg = None
     if p.quality_mode != QualityMode.NONE:

@@ -41,9 +41,31 @@ from ..ops import kmers, models, rans, tables
 from . import common
 
 A_SYM = 5                 # alphabet: 4 ranks/bases + N
-CODE_CTX_BITS = 20
+# fine code-context width. v2 (cfg.ctx_v >= 2) appends one field to the
+# 20-bit v1 layout: the previous position's cascade-level class (2 bits,
+# bits 20-21; 0 = letters, 1 = pmer-only, 2 = s/b evidence). The class
+# separates real low-level evidence (s/b-covered neighborhood) from
+# spurious short-context genome collisions — our pmer-level positions
+# mis-rank 36% of coded bases precisely because the two populations
+# shared one context. Offline pricing of the dumped (ctx, sym) stream on
+# the DNA-only SE corpus (sequential alpha=1 estimator): 202.5 KB ->
+# 196.0 KB. A cor_zone analog (reference dna.cpp:741) was also measured:
+# the CAUSAL variant (only repairs strictly before the position — all a
+# decoder can know) gained nothing on top (196.5 KB); the apparent win of
+# the acausal variant (187.9 KB) was leakage of the current position's
+# own repair flag. Not adopted.
+CODE_CTX_BITS = 22
+CODE_CTX_BITS_V1 = 20
 LET_CTX_BITS = 19
 N_MODEL_CTX = (1 << CODE_CTX_BITS) + (1 << LET_CTX_BITS)
+
+
+def _ctx_bits(cfg) -> int:
+    return CODE_CTX_BITS if cfg.ctx_v >= 2 else CODE_CTX_BITS_V1
+
+
+def _n_model_ctx(cfg) -> int:
+    return (1 << _ctx_bits(cfg)) + (1 << LET_CTX_BITS)
 LET_SENTINEL = 5          # "before start of read" letter history filler
 LH_MASK = (1 << 15) - 1
 LH_RESET = 0b101_101_101_101_101  # five sentinel-5 slots
@@ -66,10 +88,11 @@ N_COARSE_CODE = 1 << 9
 N_COARSE_CTX = N_COARSE_CODE + (1 << 10)
 
 
-def _coarse_ctx(ctx_all):
+def _coarse_ctx(cfg, ctx_all):
     """Derive the coarse context from the packed fine context (same bit
-    layout as _code_ctx / _letters_plane, so no extra plumbing)."""
-    is_let = ctx_all >= (1 << CODE_CTX_BITS)
+    layout as _code_ctx / _letters_plane, so no extra plumbing; the v2
+    fields at bits 20-23 stay out of the coarse parent by construction)."""
+    is_let = ctx_all >= (1 << _ctx_bits(cfg))
     code_c = ctx_all & 0x1FF                       # level | q0<<2 | q1<<6
     let_c = (ctx_all & 0x3F) | (((ctx_all >> 15) & 0xF) << 6)
     return jnp.where(is_let, N_COARSE_CODE + let_c, code_c)
@@ -172,6 +195,8 @@ class DnaConfig:
     # dna.cpp:745-755). Off = expanded rows pretend to be fresh reads.
     # Decode-affecting, in the header (params.dna_pe_pos_ctx).
     pe_pos_ctx: bool = False
+    # code-context layout version (see CODE_CTX_BITS note); decode-affecting
+    ctx_v: int = 1
 
 
 # position-bucket "length" for rowB under pe_pos_ctx: large enough that the
@@ -215,7 +240,7 @@ def dna_state_create(cfg: DnaConfig) -> DnaState:
         pe_state = tables.pair_create(cfg.pe_log2_buckets) + (
             models.model_create(_pe.PE_N_CTX, _pe.PE_N_SYM),)
     mk = tables.ktable_create if cfg.canon else tables.table_create
-    n_model = N_MODEL_CTX + (N_COARSE_CTX if cfg.mix_w > 0 else 0)
+    n_model = _n_model_ctx(cfg) + (N_COARSE_CTX if cfg.mix_w > 0 else 0)
     return DnaState(
         siv=tables.siv_create(cfg.siv_len),
         s_tc=mk(cfg.smer_log2_buckets),
@@ -397,12 +422,14 @@ def _base_of_rank(counts, r):
     return jnp.where(r >= 4, 4, base)
 
 
-def _code_ctx(level, counts, pb, nz_hist):
-    """Pack the 20-bit count-conditioned context (analog of
-    determine_ctx_codes bit-fields, code_ctx.cpp:257-324, single level — the
-    reference's 7-level hierarchy is replaced by direct indexing + smoothing).
-    Adding let_max (lv5's most-likely-base identity) was measured WORSE on
-    the benchmark corpus (+4KB DNA): context splitting beats its signal."""
+def _code_ctx(level, counts, pb, nz_hist, prevc=None):
+    """Pack the count-conditioned context (analog of determine_ctx_codes
+    bit-fields, code_ctx.cpp:257-324, single level — the reference's 7-level
+    hierarchy is replaced by direct indexing + smoothing). v2 (prevc not
+    None) appends the previous-position level class (see CODE_CTX_BITS
+    note). Adding let_max (lv5's most-likely-base
+    identity) was measured WORSE on the benchmark corpus (+4KB DNA):
+    context splitting beats its signal."""
     cs = jnp.sort(counts, axis=-1)[..., ::-1]
     ctx = (level - 1).astype(jnp.int32)
     ctx = ctx | (_quant(cs[..., 0], _Q0) << 2)
@@ -411,7 +438,17 @@ def _code_ctx(level, counts, pb, nz_hist):
     ctx = ctx | (_quant(cs[..., 3], _Q23) << 11)
     ctx = ctx | (pb << 13)
     ctx = ctx | (jnp.minimum(nz_hist, 4) << 17)
+    if prevc is not None:
+        ctx = ctx | (prevc << 20)
     return ctx
+
+
+def _level_class(cfg, level, use_code):
+    """0 = letters/none, 1 = pmer-only evidence, 2 = s/mixed/b evidence —
+    the coverage-state signal that separates genuine low-level evidence
+    from short-context genome collisions."""
+    return jnp.where(use_code,
+                     jnp.where(level >= LEVEL_SMER, 2, 1), 0)
 
 
 def _popcount4(v):
@@ -671,15 +708,16 @@ def _dna_cdf(cfg, state: DnaState, lm, ctx, sb):
     local = lm if cfg.local_model_inc > 0 else None
     if cfg.mix_w > 0:
         return models.model_cdf_mix(state.model, ctx,
-                                    N_MODEL_CTX + _coarse_ctx(ctx), sb,
-                                    cfg.mix_w, cfg.mix_b, local)
+                                    _n_model_ctx(cfg) + _coarse_ctx(cfg, ctx),
+                                    sb, cfg.mix_w, cfg.mix_b, local)
     if local is not None:
         return models.model_cdf_local(state.model, local, ctx, sb)
     return models.model_cdf(state.model, ctx, sb)
 
 
 def _local_state_create(cfg):
-    lm_shape = (N_MODEL_CTX, A_SYM) if cfg.local_model_inc > 0 else (1, 1)
+    lm_shape = ((_n_model_ctx(cfg), A_SYM) if cfg.local_model_inc > 0
+                else (1, 1))
     mk = tables.klocal_create if cfg.canon else tables.local_create
     return (mk(cfg.local_log2_cells), mk(cfg.local_log2_cells),
             jnp.zeros(lm_shape, jnp.int32))
@@ -730,8 +768,12 @@ def _ctx_sym_from_counts(cfg, counts, level, codes_blk, code_active_blk,
     use_code = (pos_row >= cfg.prefix_len) & (level > LEVEL_NONE)
     rbit = (use_code & code_active_blk & (ranks > 0)).astype(jnp.int32)
     nz_hist = sum(kmers.shift_right(rbit, d) for d in (1, 2, 3, 4))
-    code_ctx = _code_ctx(level, counts, pb_blk, nz_hist)
-    ctx_all = jnp.where(use_code, code_ctx, (1 << CODE_CTX_BITS) + let_blk)
+    if cfg.ctx_v >= 2:
+        prevc = kmers.shift_right(_level_class(cfg, level, use_code), 1)
+        code_ctx = _code_ctx(level, counts, pb_blk, nz_hist, prevc)
+    else:
+        code_ctx = _code_ctx(level, counts, pb_blk, nz_hist)
+    ctx_all = jnp.where(use_code, code_ctx, (1 << _ctx_bits(cfg)) + let_blk)
     sym_enc = jnp.where(use_code, ranks, codes_blk)
     return ctx_all, sym_enc
 
@@ -994,7 +1036,7 @@ def dna_collect_updates(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
         # apply in a single scatter + one rescale sweep
         mctx = jnp.concatenate(
             [ctx_all.reshape(-1),
-             N_MODEL_CTX + _coarse_ctx(ctx_all).reshape(-1)])
+             _n_model_ctx(cfg) + _coarse_ctx(cfg, ctx_all).reshape(-1)])
         msym = jnp.concatenate([sym_enc.reshape(-1)] * 2)
         mact = jnp.concatenate([code_active.reshape(-1)] * 2)
         model = models.model_update(state.model, mctx, msym, mact)
@@ -1217,7 +1259,8 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             return partial(inner, with_ramp)
 
         def inner(with_ramp, c2, i):
-            (x, ptr, pkey, slo, shi, blo, bhi, rregs, lh, rh, rep_cnt) = c2
+            (x, ptr, pkey, slo, shi, blo, bhi, rregs, lh, rh, rep_cnt,
+             prevc) = c2
             active = i < length
             in_prefix = active & (i < my_lcp) if with_lcp \
                 else jnp.zeros_like(active)
@@ -1318,10 +1361,14 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
                     jnp.broadcast_to(length, level.shape),
                     jnp.broadcast_to(my_lcp, level.shape))
             nz = _popcount4(rh)
-            code_ctx = _code_ctx(level, counts, pb, nz)
+            if cfg.ctx_v >= 2:
+                # v2 field: previous-position level class (carried)
+                code_ctx = _code_ctx(level, counts, pb, nz, prevc)
+            else:
+                code_ctx = _code_ctx(level, counts, pb, nz)
             let_ctx = (lh & LH_MASK) | (pb << 15)
             ctx_all = jnp.where(use_code, code_ctx,
-                                (1 << CODE_CTX_BITS) + let_ctx)
+                                (1 << _ctx_bits(cfg)) + let_ctx)
 
             cdf = _dna_cdf(cfg, state, loc[2] if with_local else None,
                            ctx_all, sb)
@@ -1362,13 +1409,15 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             rbit = (use_code & (sym > 0) & coded).astype(jnp.int32)
             rh = ((rh << 1) | rbit) & 0xF
 
+            prevc2 = _level_class(cfg, level, use_code)
             ys = (base, kc.astype(jnp.int32), ctx_all, sym, in_anchor)
             return (x, ptr, pkey, slo, shi, blo, bhi, rregs2, lh, rh,
-                    rep_cnt), ys
+                    rep_cnt, prevc2), ys
 
         zeros_i = jnp.zeros((N,), jnp.int32)
         inner0 = (x, ptr, pkey, slo, shi, blo, bhi, rregs,
-                  jnp.full((N,), LH_RESET, jnp.int32), zeros_i, zeros_i)
+                  jnp.full((N,), LH_RESET, jnp.int32), zeros_i, zeros_i,
+                  zeros_i)
         split = min(cfg.siv_len - 1, L) if cfg.prefix_ramp else 0
         if 0 < split < L:
             # early segment carries the ramp lookup, the rest never can
@@ -1381,9 +1430,11 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
                 unroll=min(DECODE_UNROLL, L - split))
             ys = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
                               ys_a, ys_b)
-            (x, ptr, pkey, slo, shi, blo, bhi, rregs, _, _, _) = c_end
+            (x, ptr, pkey, slo, shi, blo, bhi, rregs,
+             _, _, _, _) = c_end
         else:
-            (x, ptr, pkey, slo, shi, blo, bhi, rregs, _, _, _), ys = \
+            (x, ptr, pkey, slo, shi, blo, bhi, rregs,
+             _, _, _, _), ys = \
                 jax.lax.scan(
                     mk_inner(split > 0), inner0,
                     jnp.arange(L, dtype=jnp.int32),

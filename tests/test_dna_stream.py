@@ -65,7 +65,7 @@ def test_dna_roundtrip_mix():
     enc_state = dna.dna_state_create(cfg)
     dec_state = dna.dna_state_create(cfg)
     # merged model array: coarse family rows live behind the fine rows
-    assert enc_state.model.shape[0] == dna.N_MODEL_CTX + dna.N_COARSE_CTX
+    assert enc_state.model.shape[0] == dna._n_model_ctx(cfg) + dna.N_COARSE_CTX
     genome = None
     for b in range(3):
         lengths = rng.integers(30, L + 1, size=R)
@@ -82,8 +82,8 @@ def test_dna_roundtrip_mix():
                                       np.where(mask, codes, 0))
         assert int(ptr) == int(n_words)
         np.testing.assert_array_equal(
-            np.asarray(enc_state.model[dna.N_MODEL_CTX:]),
-            np.asarray(dec_state.model[dna.N_MODEL_CTX:]))
+            np.asarray(enc_state.model[dna._n_model_ctx(cfg):]),
+            np.asarray(dec_state.model[dna._n_model_ctx(cfg):]))
 
 
 def test_dna_learning_reduces_size():

@@ -64,7 +64,7 @@ def test_local_row_update_matches_bruteforce():
     len0 = rng.integers(12, L + 1, N).astype(np.int32)
     ls = tables.local_create(cfg.local_log2_cells)
     lb = tables.local_create(cfg.local_log2_cells)
-    lm = jnp.zeros((dna.N_MODEL_CTX, dna.A_SYM), jnp.int32)
+    lm = jnp.zeros((dna._n_model_ctx(cfg), dna.A_SYM), jnp.int32)
     ctx0 = rng.integers(0, 1000, (N, L)).astype(np.int32)
     sym0 = rng.integers(0, 5, (N, L)).astype(np.int32)
     act0 = np.arange(L)[None, :] < len0[:, None]

@@ -141,7 +141,7 @@ def main():
                               act.reshape(-1))
     t_chain("model_update (fine, 410k ev)", f_model, st.model, n_pos)
 
-    cctx = dna.N_MODEL_CTX + dna._coarse_ctx(ctx)
+    cctx = dna._n_model_ctx(dcfg) + dna._coarse_ctx(dcfg, ctx)
 
     def f_cmodel(s):
         return M.model_update(s, cctx.reshape(-1), sym.reshape(-1),
