@@ -504,21 +504,21 @@ def _prefix_ramp_counts(cfg, be, siv, kcodes, q: int):
     return jnp.minimum(jnp.sum(c, axis=(2, 3)), 255)
 
 
-def _prefix_ramp_counts_dyn(cfg, be, siv, pfx, i):
-    """_prefix_ramp_counts with a TRACED position i (decode scan): fixed
-    max-width gather, words beyond the true 4^(siv_len-2-i) range masked.
-    pfx: [N] int32 packed first-i decoded bases."""
-    ctx_len = cfg.siv_len - 1
-    nw_max = 4 ** (ctx_len - 1 - cfg.prefix_len)
-    free = 2 * (ctx_len - 1 - i)                      # bit width of the range
+def _prefix_ramp_counts_static(cfg, be, siv, pfx, q: int):
+    """_prefix_ramp_counts for the decode scan's statically-unrolled ramp
+    steps: q is a compile-time position, so the gather covers the EXACT
+    4^(siv_len-2-q) word range (no masked max-width over-read) and per-word
+    totals fold with one SWAR pass instead of a [.., 4]-unpack stack.
+    pfx: [N] int32 packed first-q decoded bases (pkey low bits)."""
+    free = cfg.siv_len - 2 - q
+    nw = 4 ** free
     start = ((pfx[:, None] << 2)
-             + jnp.arange(4, dtype=jnp.int32)[None, :]) << free     # [N, 4]
-    w = jnp.arange(nw_max, dtype=jnp.int32)[None, None, :]
-    valid = w < (jnp.int32(1) << free)
-    idx = jnp.where(valid, start[:, :, None] + w, 0)
-    c = tables.unpack_counts(be.siv_words(siv, idx))  # [N, 4, nw_max, 4]
-    c = jnp.where(valid[..., None], c, 0)
-    return jnp.minimum(jnp.sum(c, axis=(2, 3)), 255)
+             + jnp.arange(4, dtype=jnp.int32)[None, :]) << (2 * free)
+    idx = start[:, :, None] + jnp.arange(nw, dtype=jnp.int32)[None, None, :]
+    w = be.siv_words(siv, idx)                        # [N, 4, nw] u32
+    x = (w & jnp.uint32(0x00FF00FF)) + ((w >> 8) & jnp.uint32(0x00FF00FF))
+    tot = ((x & jnp.uint32(0xFFFF)) + (x >> 16)).astype(jnp.int32)
+    return jnp.minimum(jnp.sum(tot, axis=-1), 255)
 
 
 def _window_parts(cfg, state, kcodes, lengths, be=tables.LOCAL,
@@ -1255,10 +1255,10 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             my_lcp = jnp.zeros((N,), jnp.int32)
             src_row = jnp.zeros((N, 1), jnp.int32)
 
-        def mk_inner(with_ramp):
-            return partial(inner, with_ramp)
+        def mk_inner(ramp_q):
+            return partial(inner, ramp_q)
 
-        def inner(with_ramp, c2, i):
+        def inner(ramp_q, c2, i):
             (x, ptr, pkey, slo, shi, blo, bhi, rregs, lh, rh, rep_cnt,
              prevc) = c2
             active = i < length
@@ -1300,21 +1300,21 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
                     st_row, (pkey & pm_mask).astype(jnp.int32),
                     s_ctx[0], s_ctx[1], b_ctx[0], b_ctx[1], vp, vs, vb, be,
                     cfg.smer_log2_buckets, cfg.bmer_log2_buckets)
-            if with_ramp:
+            if ramp_q is not None:
                 # partial-prefix SIV evidence where no full window exists
-                # yet (mirror of the _window_parts injection; pkey's low 2i
+                # yet (mirror of the _window_parts injection; pkey's low 2q
                 # bits are exactly this row's decoded prefix, and repair
-                # never rewrites positions this early). Statically compiled
-                # into the EARLY scan segment only (i < siv_len - 1): a
-                # lax.cond here lowered to both-branches-plus-select on
-                # every one of the L*r_pl thin steps (~17% of the whole
-                # decode scan, profile_scan.py)
-                in_ramp = (i >= cfg.prefix_len) & (i < cfg.siv_len - 1)
-                cq = _prefix_ramp_counts_dyn(
+                # never rewrites positions this early). Each ramp position
+                # is ONE statically-unrolled step (i == ramp_q), so the
+                # range read is exact-width and the rest of the scan never
+                # compiles any ramp code (the masked max-width variant
+                # inside the early scan segment was 70 of 186 ms/batch,
+                # tools/profile_scan.py)
+                cq = _prefix_ramp_counts_static(
                     cfg, be, state.siv,
-                    (pkey & ((jnp.uint32(1) << (2 * i).astype(jnp.uint32))
-                             - 1)).astype(jnp.int32), i)
-                ok = in_ramp & active & (jnp.sum(cq, axis=-1) > 0)
+                    (pkey & jnp.uint32(4 ** ramp_q - 1)).astype(jnp.int32),
+                    ramp_q)
+                ok = active & (jnp.sum(cq, axis=-1) > 0)
                 cp_, cs_, cb_, fp_, fs_, fb_ = parts
                 parts = (jnp.where(ok[:, None], cq, cp_), cs_, cb_,
                          fp_ | ok, fs_, fb_)
@@ -1418,25 +1418,38 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
         inner0 = (x, ptr, pkey, slo, shi, blo, bhi, rregs,
                   jnp.full((N,), LH_RESET, jnp.int32), zeros_i, zeros_i,
                   zeros_i)
-        split = min(cfg.siv_len - 1, L) if cfg.prefix_ramp else 0
-        if 0 < split < L:
-            # early segment carries the ramp lookup, the rest never can
-            c_mid, ys_a = jax.lax.scan(
-                mk_inner(True), inner0, jnp.arange(split, dtype=jnp.int32),
-                unroll=min(DECODE_UNROLL, split))
-            c_end, ys_b = jax.lax.scan(
-                mk_inner(False), c_mid,
-                jnp.arange(split, L, dtype=jnp.int32),
-                unroll=min(DECODE_UNROLL, L - split))
-            ys = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
-                              ys_a, ys_b)
+        ramp_steps = ([q for q in _ramp_cols(cfg) if q < L]
+                      if cfg.prefix_ramp else [])
+        if ramp_steps:
+            # plain scan below the ramp zone, ONE static step per ramp
+            # position (exact-width range reads), plain scan after
+            c_cur = inner0
+            ys_parts = []
+            p0 = ramp_steps[0]
+            if p0 > 0:
+                c_cur, ys_h = jax.lax.scan(
+                    mk_inner(None), c_cur, jnp.arange(p0, dtype=jnp.int32),
+                    unroll=min(DECODE_UNROLL, p0))
+                ys_parts.append(ys_h)
+            for q in ramp_steps:
+                c_cur, ys_q = inner(q, c_cur, jnp.int32(q))
+                ys_parts.append(jax.tree.map(lambda a: a[None], ys_q))
+            rest0 = ramp_steps[-1] + 1
+            if rest0 < L:
+                c_cur, ys_t = jax.lax.scan(
+                    mk_inner(None), c_cur,
+                    jnp.arange(rest0, L, dtype=jnp.int32),
+                    unroll=min(DECODE_UNROLL, L - rest0))
+                ys_parts.append(ys_t)
+            ys = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                              *ys_parts)
             (x, ptr, pkey, slo, shi, blo, bhi, rregs,
-             _, _, _, _) = c_end
+             _, _, _, _) = c_cur
         else:
             (x, ptr, pkey, slo, shi, blo, bhi, rregs,
              _, _, _, _), ys = \
                 jax.lax.scan(
-                    mk_inner(split > 0), inner0,
+                    mk_inner(None), inner0,
                     jnp.arange(L, dtype=jnp.int32),
                     unroll=min(DECODE_UNROLL, L))
         base_r = ys[0].T                       # [L, N] -> [N, L]
