@@ -34,7 +34,8 @@ from .. import pipeline as base
 
 def _mesh_and_specs(p: Params, dcfg, qcfg, mcfg, icfg, dp: int, tp: int):
     mesh = sharded.make_mesh(dp * tp, tp=tp)
-    sspec = sharded.state_specs(qcfg is not None, icfg is not None)
+    sspec = sharded.state_specs(qcfg is not None, icfg is not None,
+                                dcfg.pe_log2_buckets > 0)
     state = base.state_create(dcfg, qcfg, icfg)
     state = jax.device_put(
         state, jax.tree.map(lambda s: NamedSharding(mesh, s), sspec,
@@ -77,7 +78,8 @@ def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
     mesh, state, bspec = _mesh_and_specs(p, dcfg, qcfg, mcfg, icfg, dp, tp)
     enc = sharded.make_sharded_model(dcfg, qcfg, mcfg, icfg, mesh)
     rns = sharded.make_sharded_rans(mesh, p.scale_bits)
-    n_streams = 2 + (qcfg is not None) + (icfg is not None)
+    n_streams = (2 + (qcfg is not None) + (icfg is not None)
+                 + (dcfg.pe_log2_buckets > 0))
 
     qfwd = None
     if qcfg is not None:
@@ -187,7 +189,8 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
     dcfg, qcfg, mcfg, icfg = base.make_configs(p)
     mesh, state, bspec = _mesh_and_specs(p, dcfg, qcfg, mcfg, icfg, dp, tp)
     N = p.n_lanes
-    n_base = 2 + (qcfg is not None) + (icfg is not None)
+    with_pe = dcfg.pe_log2_buckets > 0
+    n_base = 2 + (qcfg is not None) + (icfg is not None) + with_pe
 
     qrev = None
     if qcfg is not None:
@@ -235,6 +238,8 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
                 caps.append(R_shard * max(L, 2))
             if icfg is not None:
                 caps.append(R_shard * icfg.w_all + 4 * N)
+            if with_pe:
+                caps.append(2 * R_shard + 4 * N)
             planes = [np.zeros((dp * c,), np.uint32) for c in caps]
             for s in range(dp):
                 for b in range(n_base):
@@ -256,6 +261,11 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
             else:
                 z = jnp.zeros((0,), jnp.uint32)
                 args += [z, z]
+            if with_pe:
+                args += [put(planes[n_base - 1]), cur[n_base - 1]]
+            else:
+                zd = jax.device_put(jnp.zeros((dp,), jnp.uint32), bspec)
+                args += [zd, zd]
             lengths, codes, qsyms, id_batch, state, xs = dec(*args)
             cur = list(xs)
 

@@ -151,13 +151,18 @@ class TpBackend:
         return tables.ktable_update(tc_local, idx, tag, valid & own)
 
 
-def state_specs(qual: bool, with_ids: bool = False):
+def state_specs(qual: bool, with_ids: bool = False, with_pe: bool = False):
     """PartitionSpecs for CodecState: tables sharded over tp, models
-    replicated (the model array carries the coarse family inline)."""
+    replicated (the model array carries the coarse family inline). The PE
+    pair table + pe-stream model are REPLICATED like the models: every dp
+    replica applies the identical cross-insert batch from the gathered
+    true reads, so anchors match on all shards (the table is ~100x smaller
+    than the s/b stores, so tp sharding buys nothing)."""
     from ..pipeline import CodecState
 
     dna_spec = dna.DnaState(
-        siv=P("tp"), s_tc=P("tp"), b_tc=P("tp"), model=P())
+        siv=P("tp"), s_tc=P("tp"), b_tc=P("tp"), model=P(),
+        pe=(P(), P(), P(), P(), P()) if with_pe else None)
     return CodecState(dna=dna_spec, meta=P(), qual=P() if qual else None,
                       id=P() if with_ids else None)
 
@@ -194,17 +199,47 @@ def _grids_step(dcfg, qcfg, mcfg, icfg, be, state, codes, kcodes, lengths,
     # local deltas); the carried tables are DISCARDED — the authoritative
     # evolution is the batch-level collect on the frozen state below,
     # which every device computes identically from the gathered batch.
-    if dcfg.row_global:
+    with_pe = dcfg.pe_log2_buckets > 0
+    pe_grid = None
+    if with_pe:
+        # anchors are found per dp shard against the REPLICATED pair table
+        # (state_specs), so every shard's anchor choices replay identically
+        # on decode; the pair/pe-model evolution below runs on the gathered
+        # full batch on every replica
+        (codes3, lengths3, anchor_mask3, lcp3, pe_syms, pe_act, pe_f,
+         pe_c2, pos_map3) = dna.dna_pe_encode(dcfg, state.dna, codes,
+                                              lengths, lcp=lcp)
+        kcodes3 = jnp.where(codes3 >= 4, 0, codes3)
+        if dcfg.row_global:
+            eff, ctx, sym, f, c, active, _, _ = dna.dna_process_batch_rg(
+                dcfg, state.dna, codes3, kcodes3, lengths3, be, lcp3,
+                anchor_mask=anchor_mask3, pos_map=pos_map3)
+        else:
+            eff = dna.dna_effective_kcodes(dcfg, state.dna, codes3, kcodes3,
+                                           lengths3, be)
+            ctx, sym, f, c, active = dna.dna_modeling(
+                dcfg, state.dna, codes3, eff, lengths3, be, lcp3,
+                anchor_mask=anchor_mask3, pos_map=pos_map3)
+        d_state = dna.dna_collect_updates(
+            dcfg, state.dna, g(codes3), g(eff), g(lengths3),
+            g(ctx), g(sym), g(active), be,
+            pe_syms=g(pe_syms), pe_act=g(pe_act),
+            codes_true=g(codes), lengths_true=g(lengths))
+        pe_grid = (g16(pe_f, dcfg.n_lanes), g16(pe_c2, dcfg.n_lanes))
+    elif dcfg.row_global:
         eff, ctx, sym, f, c, active, _, _ = dna.dna_process_batch_rg(
             dcfg, state.dna, codes, kcodes, lengths, be, lcp)
+        d_state = dna.dna_collect_updates(
+            dcfg, state.dna, g(codes), g(eff), g(lengths),
+            g(ctx), g(sym), g(active), be)
     else:
         eff = dna.dna_effective_kcodes(dcfg, state.dna, codes, kcodes,
                                        lengths, be)
         ctx, sym, f, c, active = dna.dna_modeling(
             dcfg, state.dna, codes, eff, lengths, be, lcp)
-    d_state = dna.dna_collect_updates(
-        dcfg, state.dna, g(codes), g(eff), g(lengths),
-        g(ctx), g(sym), g(active), be)
+        d_state = dna.dna_collect_updates(
+            dcfg, state.dna, g(codes), g(eff), g(lengths),
+            g(ctx), g(sym), g(active), be)
 
     grids = [(g16(m_f, mcfg.n_lanes), g16(m_c, mcfg.n_lanes)),
              (g16(f, dcfg.n_lanes), g16(c, dcfg.n_lanes))]
@@ -230,6 +265,8 @@ def _grids_step(dcfg, qcfg, mcfg, icfg, be, state, codes, kcodes, lengths,
         grids.append((g16(i_f, icfg.n_lanes), g16(i_c, icfg.n_lanes)))
     else:
         i_model = None
+    if pe_grid is not None:
+        grids.append(pe_grid)
 
     new_state = CodecState(dna=d_state, meta=m_model, qual=q_model,
                            id=i_model)
@@ -252,9 +289,11 @@ def make_sharded_model(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
                                        id_batch)
         return tuple(grids), new_state
 
-    sspec = state_specs(qcfg is not None, icfg is not None)
+    sspec = state_specs(qcfg is not None, icfg is not None,
+                        dcfg.pe_log2_buckets > 0)
     batch = P("dp")
-    n_streams = 2 + (qcfg is not None) + (icfg is not None)
+    n_streams = (2 + (qcfg is not None) + (icfg is not None)
+                 + (dcfg.pe_log2_buckets > 0))
     gspec = (P(None, "dp"), P(None, "dp"))  # [T, dp*N] lane grids
     fn = jax.shard_map(
         step, mesh=mesh,
@@ -307,6 +346,9 @@ def make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
         i_out = (coded[2 + (qcfg is not None)] if icfg is not None else zero)
         return m_out, i_out, d_out, q_out, new_state
 
+    assert dcfg.pe_log2_buckets == 0, \
+        "single-step sharded encode has no pe-stream slot; use " \
+        "make_sharded_model + make_sharded_rans (the file pipeline path)"
     sspec = state_specs(qcfg is not None, icfg is not None)
     batch = P("dp")
     out_stream = (P("dp"), P("dp"), P("dp"))
@@ -328,8 +370,10 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
     n_tp = mesh.shape["tp"]
     be = TpBackend("tp", n_tp)
 
+    with_pe = dcfg.pe_log2_buckets > 0
+
     def step(state: CodecState, m_words, m_states, i_words, i_states,
-             d_words, d_states, q_words, q_states):
+             d_words, d_states, q_words, q_states, pe_words, pe_states):
         g = partial(jax.lax.all_gather, axis_name="dp", axis=0, tiled=True)
 
         lengths, lcp, _, m_x, _ = meta.meta_decode_batch(
@@ -342,12 +386,29 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
             state.meta, g(m_ctx).reshape(-1), g(m_syms).reshape(-1),
             jnp.ones(g(m_ctx).size, dtype=bool))
 
-        codes, _, d_x, _, (eff, ctx, sym, active) = dna.dna_decode_batch(
-            dcfg, state.dna, lengths, d_words, d_states, L, be,
-            apply_update=False, lcp=lcp, lcp_stride=mcfg.lcp_stride)
-        d_state = dna.dna_collect_updates(
-            dcfg, state.dna, g(codes), g(eff), g(lengths),
-            g(ctx), g(sym), g(active), be)
+        if with_pe:
+            # per-shard anchored decode; the collect below replays the
+            # gathered full batch (expanded rows + pe stream + true reads)
+            # identically on every replica, mirroring _grids_step
+            codes, _, d_x, _, ex = dna.dna_decode_batch(
+                dcfg, state.dna, lengths, d_words, d_states, L, be,
+                apply_update=False, lcp=lcp, lcp_stride=mcfg.lcp_stride,
+                pe_words=pe_words, pe_states=pe_states)
+            (eff, ctx, sym, active, pe_x, pe_syms, pe_act, codes3,
+             lengths3) = ex
+            d_state = dna.dna_collect_updates(
+                dcfg, state.dna, g(codes3), g(eff), g(lengths3),
+                g(ctx), g(sym), g(active), be,
+                pe_syms=g(pe_syms), pe_act=g(pe_act),
+                codes_true=g(codes), lengths_true=g(lengths))
+        else:
+            codes, _, d_x, _, (eff, ctx, sym, active) = dna.dna_decode_batch(
+                dcfg, state.dna, lengths, d_words, d_states, L, be,
+                apply_update=False, lcp=lcp, lcp_stride=mcfg.lcp_stride)
+            pe_x = pe_states
+            d_state = dna.dna_collect_updates(
+                dcfg, state.dna, g(codes), g(eff), g(lengths),
+                g(ctx), g(sym), g(active), be)
 
         if qcfg is not None:
             qsyms, _, q_x, _ = quality.qual_decode_batch(
@@ -382,15 +443,16 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
         # chains them into the next batch of the group (pipeline.flush_group
         # analog on the decode side)
         xs = [m_x, d_x] + ([q_x] if qcfg is not None else []) \
-            + ([i_x] if icfg is not None else [])
+            + ([i_x] if icfg is not None else []) \
+            + ([pe_x] if with_pe else [])
         return lengths, codes, qsyms, id_batch, new_state, tuple(xs)
 
-    sspec = state_specs(qcfg is not None, icfg is not None)
+    sspec = state_specs(qcfg is not None, icfg is not None, with_pe)
     w = P("dp")
-    n_streams = 2 + (qcfg is not None) + (icfg is not None)
+    n_streams = 2 + (qcfg is not None) + (icfg is not None) + with_pe
     fn = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(sspec, w, w, w, w, w, w, w, w),
+        in_specs=(sspec, w, w, w, w, w, w, w, w, w, w),
         out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), sspec,
                    (P("dp"),) * n_streams),
         check_vma=False)

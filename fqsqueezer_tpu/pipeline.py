@@ -66,12 +66,11 @@ def make_configs(p: Params):
         prefix_ramp=p.dna_prefix_ramp > 0,
         sorted_ctx=(p.dna_sorted_ctx > 0
                     and p.dna_mode in (DnaMode.SE_SORTED, DnaMode.PE_SORTED)),
-        # anchor machinery on the single-chip PE path only (the mesh path
-        # does not carry the pair table yet); mesh archives set mesh_dp/tp
-        # and decode through mesh_pipeline, so the flag matches both sides
-        pe_log2_buckets=(p.pe_log2_buckets
-                         if is_pe and p.mesh_dp <= 1 and p.mesh_tp <= 1
-                         else 0),
+        # anchor machinery on single-chip AND mesh paths (round 4): the
+        # mesh replicates the pair table per device (sharded.state_specs)
+        # and evolves it from the gathered batch, so anchors replay
+        # identically on every shard
+        pe_log2_buckets=p.pe_log2_buckets if is_pe else 0,
         pe_pos_ctx=p.dna_pe_pos_ctx > 0,
         ctx_v=p.dna_ctx_v)
     qmode = p.quality_mode.value

@@ -1577,7 +1577,11 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
         codes_true = _pe.collapse_pe_rows(codes, lengths, a_pairs,
                                           has_pairs, B_anch)
         pe_extra = (carry[-1][0],)             # final PE lane states (pe_c.x)
-        extras = (eff, ctx_all, sym, code_active) + pe_extra
+        # trailing fields let an apply_update=False caller (the mesh decode
+        # step) run dna_collect_updates on the gathered full batch: the
+        # expanded rows/lengths plus the decoded PE stream symbols
+        extras = (eff, ctx_all, sym, code_active) + pe_extra + (
+            pe_syms, pe_act, codes, lengths3)
         if apply_update:
             new_state = dna_collect_updates(
                 cfg, state, codes, eff, lengths3, ctx_all, sym, code_active,

@@ -143,9 +143,10 @@ def test_multichip_two_batch_chain():
                                       R // dp, L)
     st = state
     for b, (m, i, d, q) in zip((b0, b1), outs):
+        zpe = put(np.zeros((dp,), np.uint32))   # no pe stream (SE)
         lengths, codes, qsyms, id_batch, st, _ = dec(
             st, put(m[0]), put(m[2]), put(i[0]), put(i[2]),
-            put(d[0]), put(d[2]), put(q[0]), put(q[2]))
+            put(d[0]), put(d[2]), put(q[0]), put(q[2]), zpe, zpe)
         np.testing.assert_array_equal(np.asarray(codes), b[0])
         np.testing.assert_array_equal(np.asarray(lengths), b[2])
         np.testing.assert_array_equal(np.asarray(qsyms), b[3])
