@@ -99,17 +99,17 @@ def model_cdf_mix(freqs: jax.Array, ctx: jax.Array, cctx: jax.Array,
 
     freqs holds BOTH model families in one array — fine rows first, coarse
     rows behind them — and cctx must arrive pre-offset by the fine row
-    count. Both rows then come back in ONE gather of [..., 2] indices
-    (engine ops charge a fixed latency per op: one 2N-event gather beats
-    two N-event gathers on the decode scan's critical path, where this
-    runs once per position).
+    count. The two rows come back in TWO plain row gathers: a single
+    [..., 2]-index gather was measured 24x SLOWER on the chip (384.6 vs
+    16.1 ms on a [4096, 100] batch against the ctx-v2-sized array) — XLA
+    lowers the fancy-index form to per-element gathers while plain
+    freqs[idx] row gathers go down the contiguous-row fast path.
 
     Headroom: t_fine <= 2^RAW_CAP_BITS (model_update), coarse adds <= w + A,
     local deltas are clamped by local_cap(..., extra=w) — so every smoothed
     row total stays <= 2^scale_bits and quantized frequencies stay >= 1."""
-    rows2 = freqs[jnp.stack([ctx, cctx], axis=-1)]      # [..., 2, A]
-    f = rows2[..., 0, :]
-    g = rows2[..., 1, :]
+    f = freqs[ctx]
+    g = freqs[cctx]
     if local is not None:
         cap = local_cap(freqs.shape[1], scale_bits, extra=w)
         f = f + jnp.minimum(local[ctx], cap)
