@@ -52,9 +52,9 @@ def test_ramp_counts_match_bruteforce():
                 err_msg=f"q={q} r={r}")
 
 
-def test_ramp_dyn_matches_static():
-    """The decode scan's traced-position variant must equal the encoder's
-    static-column variant at every ramp column."""
+def test_ramp_scan_variant_matches_encoder():
+    """The decode scan's statically-unrolled SWAR variant must equal the
+    encoder's wide-batch variant at every ramp column."""
     cfg = _cfg(siv_len=10, prefix_len=6)
     rng = np.random.default_rng(3)
     keys = rng.integers(0, (4 ** cfg.siv_len), size=5000).astype(np.int32)
@@ -68,7 +68,8 @@ def test_ramp_dyn_matches_static():
     for q in dna._ramp_cols(cfg):
         static = np.asarray(dna._prefix_ramp_counts(cfg, tables.LOCAL, siv, kcodes, q))
         pfx = jnp.sum(kcodes[:, :q] * w[L - q:], axis=1)
-        dyn = np.asarray(jax.jit(
-            lambda s, p, i: dna._prefix_ramp_counts_dyn(cfg, tables.LOCAL, s, p, i)
-        )(siv, pfx, jnp.int32(q)))
-        np.testing.assert_array_equal(dyn, static, err_msg=f"q={q}")
+        scan_v = np.asarray(jax.jit(
+            lambda s, p: dna._prefix_ramp_counts_static(cfg, tables.LOCAL,
+                                                        s, p, q)
+        )(siv, pfx))
+        np.testing.assert_array_equal(scan_v, static, err_msg=f"q={q}")
