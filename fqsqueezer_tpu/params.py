@@ -206,9 +206,14 @@ class Params:
         want = max(16, min(26, int(math.ceil(math.log2(max(1, gbases) / 4)))))
         # canonical tables hold 4 cells/bucket (tables.KBUCKET) vs the
         # legacy 8: one extra bucket bit keeps the cell capacity identical
-        # at half the gather bytes per find
+        # at half the gather bytes per find. Hard cap 2^26 buckets
+        # (3.2 GiB/table): at gs 3100 the uncapped 2^27 pair of tables
+        # (12.9 GiB) plus one transient claim plane exceeds a 16 GiB chip
+        # (measured RESOURCE_EXHAUSTED); WGS-scale capacity comes from
+        # tp-sharding the tables across chips (parallel/sharded.py), which
+        # divides the per-chip share, not from outgrowing one chip.
         extra = 1 if self.dna_canon > 0 else 0
-        self.smer_log2_buckets = min(26 + extra, want + extra)
+        self.smer_log2_buckets = min(26, want + extra)
         self.bmer_log2_buckets = self.smer_log2_buckets
         self.pe_log2_buckets = max(14, want - 2)
 
