@@ -66,6 +66,7 @@ def main() -> None:
         p.quality_mode = qm
         p.id_mode = im
         p.verbosity = 0
+        p.auto_tune_lanes()   # product default (mirrors the CLI)
         return p
 
     # ---- primary row: SE original -------------------------------------

@@ -121,6 +121,7 @@ def parse_args(argv) -> Params:
     p.file_names = files
     if p.work_mode == WorkMode.COMPRESS:
         p.adjust_kmer_sizes()
+        p.auto_tune_lanes()
     return p
 
 
