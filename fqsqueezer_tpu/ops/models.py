@@ -134,6 +134,57 @@ def local_cap(n_sym: int, scale_bits: int, extra: int = 0) -> int:
                    - extra) // n_sym)
 
 
+# ---------------------------------------------------------------------------
+# packed u16 find mirror
+# ---------------------------------------------------------------------------
+# The scatter/gather engine's per-row cost rises sharply with total array
+# size (measured, tools/profile_r5b.py on one chip: a [4.7M, 5] i32 model
+# gathers at ~69 ns/row; the same rows packed 2-per-u32 into a [4.7M, 3] u32
+# array gather at ~9 ns/row — 8x). Model cells never exceed 2^RAW_CAP_BITS
+# (model_update rescales every touched row), so they fit u16 exactly. The
+# authoritative model stays i32 (updates scatter-add with full headroom);
+# the hot FIND paths gather from a packed MIRROR rebuilt once per batch —
+# a pure storage-layout change, so cdf values (and archives) are identical.
+
+def pack_freqs(freqs: jax.Array) -> jax.Array:
+    """[n, A] i32 (cells < 2^16) -> [n, ceil(A/2)] u32, 2 cells per word."""
+    n, A = freqs.shape
+    f = freqs.astype(jnp.uint32)
+    if A % 2:
+        f = jnp.concatenate([f, jnp.zeros((n, 1), jnp.uint32)], axis=1)
+    return f[:, 0::2] | (f[:, 1::2] << 16)
+
+
+def _unpack_row(w: jax.Array, A: int) -> jax.Array:
+    """[..., ceil(A/2)] u32 -> [..., A] i32."""
+    lo = (w & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    hi = (w >> 16).astype(jnp.int32)
+    return jnp.stack([lo, hi], axis=-1).reshape(w.shape[:-1]
+                                                + (2 * w.shape[-1],))[..., :A]
+
+
+def model_cdf_packed(mp: jax.Array, A: int, ctx: jax.Array,
+                     scale_bits: int) -> jax.Array:
+    """model_cdf reading from a packed mirror — identical cdf values."""
+    return _rows_to_cdf(_unpack_row(mp[ctx], A) + ALPHA, scale_bits)
+
+
+def model_cdf_mix_packed(mp: jax.Array, A: int, coarse: jax.Array,
+                         ctx: jax.Array, cctx: jax.Array,
+                         scale_bits: int, w: int, b: int) -> jax.Array:
+    """model_cdf_mix with the fine family read from the packed mirror and
+    the (tiny) coarse family from its own small i32 array — identical math
+    and values, ~8x cheaper gathers (see pack_freqs). cctx is UNoffset
+    (an index into `coarse`), unlike model_cdf_mix's appended-rows form."""
+    f = _unpack_row(mp[ctx], A)
+    g = coarse[cctx]
+    tf = jnp.sum(f, axis=-1, keepdims=True)
+    tg = jnp.sum(g, axis=-1, keepdims=True)
+    w_eff = floor_div_prod(jnp.int32(w), jnp.int32(b), tf + b)
+    rows = f + floor_div_prod(g, w_eff, tg + A) + ALPHA
+    return _rows_to_cdf(rows, scale_bits)
+
+
 def model_cdf_local(freqs: jax.Array, local: jax.Array, ctx: jax.Array,
                     scale_bits: int) -> jax.Array:
     """model_cdf with in-batch local deltas folded in (row-synced adaptation:

@@ -702,17 +702,40 @@ def local_row_update(cfg, ls, lb, lm, eff_row, ctx_row, sym_row, act_row,
     return ls, lb, lm
 
 
-def _dna_cdf(cfg, state: DnaState, lm, ctx, sb):
-    """DNA model cdf: fine row, optional in-batch local deltas, optional
-    coarse-parent mix (cfg.mix_w)."""
+def _model_view(cfg, state: DnaState):
+    """Batch-frozen find view of the DNA model. When in-batch model deltas
+    are off (the default), the fine+letters rows are packed into a u16
+    mirror (models.pack_freqs — the model gather was the decode scan's
+    single largest cost, ~8x cheaper packed) and the coarse family gets its
+    own tiny i32 array; otherwise the raw i32 array is used directly.
+    Pure storage-layout change: cdf values (and archives) are identical."""
+    if cfg.local_model_inc > 0:
+        return ("raw", state.model)
+    n_fine = _n_model_ctx(cfg)
+    mp = models.pack_freqs(state.model[:n_fine])
+    coarse = state.model[n_fine:] if cfg.mix_w > 0 else None
+    return ("packed", mp, coarse)
+
+
+def _dna_cdf(cfg, mv, lm, ctx, sb):
+    """DNA model cdf from a _model_view: fine row, optional in-batch local
+    deltas, optional coarse-parent mix (cfg.mix_w)."""
+    if mv[0] == "packed":
+        _, mp, coarse = mv
+        if cfg.mix_w > 0:
+            return models.model_cdf_mix_packed(
+                mp, A_SYM, coarse, ctx, _coarse_ctx(cfg, ctx), sb,
+                cfg.mix_w, cfg.mix_b)
+        return models.model_cdf_packed(mp, A_SYM, ctx, sb)
+    model = mv[1]
     local = lm if cfg.local_model_inc > 0 else None
     if cfg.mix_w > 0:
-        return models.model_cdf_mix(state.model, ctx,
+        return models.model_cdf_mix(model, ctx,
                                     _n_model_ctx(cfg) + _coarse_ctx(cfg, ctx),
                                     sb, cfg.mix_w, cfg.mix_b, local)
     if local is not None:
-        return models.model_cdf_local(state.model, local, ctx, sb)
-    return models.model_cdf(state.model, ctx, sb)
+        return models.model_cdf_local(model, local, ctx, sb)
+    return models.model_cdf(model, ctx, sb)
 
 
 def _local_state_create(cfg):
@@ -831,11 +854,12 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
 
     parts, _ = _window_parts(cfg, state, kcodes, lengths, be)
 
+    mv = _model_view(cfg, state)
     if cfg.local_log2_cells <= 0:
         counts, level = _cascade_combine(*parts)
         ctx_all, sym_enc = _ctx_sym_from_counts(
             cfg, counts, level, codes, code_active, pb, let_ctx, pos)
-        cdf = _dna_cdf(cfg, state, None, ctx_all, cfg.scale_bits)
+        cdf = _dna_cdf(cfg, mv, None, ctx_all, cfg.scale_bits)
         f, c = models.cdf_encode_lookup(cdf, sym_enc)
         f = jnp.where(code_active, f, 1 << cfg.scale_bits)
         c = jnp.where(code_active, c, 0)
@@ -866,7 +890,7 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
         counts, level = _cascade_combine(*_merge_local(parts_r, cs_l, cb_l))
         ctx_r, sym_r = _ctx_sym_from_counts(
             cfg, counts, level, codes_r, cact_r, pb_r, let_r, pos)
-        cdf = _dna_cdf(cfg, state, lm, ctx_r, cfg.scale_bits)
+        cdf = _dna_cdf(cfg, mv, lm, ctx_r, cfg.scale_bits)
         f, c = models.cdf_encode_lookup(cdf, sym_r)
         f = jnp.where(cact_r, f, 1 << cfg.scale_bits)
         c = jnp.where(cact_r, c, 0)
@@ -907,6 +931,7 @@ def dna_process_batch_rg(cfg: DnaConfig, state: DnaState, codes, kcodes,
     len_rows = common.to_read_grid(lengths, N).T              # [rows, N]
     xs = (rb(codes), rb(kcodes), rb(code_active), rb(pb), rb(let_ctx),
           len_rows)
+    mv = _model_view(cfg, state)
 
     def row_step(carry, x):
         s_tc, b_tc = carry
@@ -917,7 +942,7 @@ def dna_process_batch_rg(cfg: DnaConfig, state: DnaState, codes, kcodes,
         counts, level = _cascade_combine(*parts_r)
         ctx_r, sym_r = _ctx_sym_from_counts(
             cfg, counts, level, codes_r, cact_r, pb_r, let_r, pos)
-        cdf = _dna_cdf(cfg, state, None, ctx_r, cfg.scale_bits)
+        cdf = _dna_cdf(cfg, mv, None, ctx_r, cfg.scale_bits)
         f, c = models.cdf_encode_lookup(cdf, sym_r)
         f = jnp.where(cact_r, f, 1 << cfg.scale_bits)
         c = jnp.where(cact_r, c, 0)
@@ -1208,6 +1233,7 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
     pm_mask = jnp.uint32(4 ** (cfg.siv_len - 1) - 1)
     s_w = cfg.smer_len - 1
     b_w = cfg.bmer_len - 1
+    mv = _model_view(cfg, state)   # batch-frozen packed find mirror
 
     def key_mask(width_bases):
         bits = 2 * width_bases
@@ -1370,7 +1396,7 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             ctx_all = jnp.where(use_code, code_ctx,
                                 (1 << _ctx_bits(cfg)) + let_ctx)
 
-            cdf = _dna_cdf(cfg, state, loc[2] if with_local else None,
+            cdf = _dna_cdf(cfg, mv, loc[2] if with_local else None,
                            ctx_all, sb)
             slot = rans.rans_decode_slots(x, sb)
             sym, f, c = rans.cdf_lookup(cdf, slot)
@@ -1546,7 +1572,14 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
     rregs0 = ((zeros_u, zeros_u, zeros_u, zeros_u) if cfg.canon else ())
     carry0 = (init_states, jnp.int32(0), zeros_u, zeros_u, zeros_u,
               zeros_u, zeros_u, rregs0, prev0, loc0, pe_c0)
-    carry, ys = jax.lax.scan(outer, carry0, jnp.arange(n_rows, dtype=jnp.int32))
+    # outer rows fully unrolled: n_rows is small and static (R / n_lanes),
+    # and keeping the row-boundary table updates out of a while-loop body
+    # lets XLA overlap/schedule their scatter passes with the neighboring
+    # rows' work (measured: the same 4 ktable_update calls cost ~30 ms
+    # free-standing vs ~49 ms inside the lax.scan body)
+    carry, ys = jax.lax.scan(outer, carry0,
+                             jnp.arange(n_rows, dtype=jnp.int32),
+                             unroll=True)
     x, ptr = carry[0], carry[1]
     if with_rg:
         # the scan's carried tables hold every row's events already; the
