@@ -232,8 +232,14 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
                     dcfg, qcfg, mcfg, icfg, mesh, R_shard, L)
             dec = dec_cache[key]
 
-            # reassemble [dp*cap] word planes per base stream
-            caps = [mcfg.n_per_read * R_shard, R_shard * max(L, 2)]
+            # reassemble [dp*cap] word planes per base stream. The dna plane
+            # is sized to the PE-expanded 3-row grid when anchors are on
+            # (1.5 * R_shard * L symbols <= 1 u16 word each, matching the
+            # encoder-side rans grid capacity) — a pathologically
+            # incompressible batch can emit more than R_shard * L words
+            caps = [mcfg.n_per_read * R_shard,
+                    (3 * (R_shard // 2) * max(L, 2) if with_pe
+                     else R_shard * max(L, 2))]
             if qcfg is not None:
                 caps.append(R_shard * max(L, 2))
             if icfg is not None:

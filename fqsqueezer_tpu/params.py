@@ -181,6 +181,14 @@ class Params:
     # archive-header knob for variable-length real data; default off.
     # Decode-affecting; legacy archives decode with 0.
     dna_pe_pos_ctx: int = 0
+    # PE anchor machinery ON THE MESH (round 4+): archives written before
+    # this knob existed store mesh_dp > 1 + dna_mode PE_* + a nonzero
+    # pe_log2_buckets but carry NO pe stream (the old writer zeroed the
+    # anchor machinery on mesh paths). The knob discriminates the formats:
+    # legacy mesh PE archives load 0 and decode with anchors off; new
+    # writers store 1. Single-chip archives are unaffected (the gate only
+    # applies when mesh_dp * mesh_tp > 1). Decode-affecting.
+    dna_pe_mesh: int = 1
     # row-global s/b-mer updates (streams/dna.py DnaConfig.row_global): the
     # global tables evolve at read-row granularity inside each batch,
     # REPLACING the separate in-batch local tables — same freshness, far
@@ -247,7 +255,7 @@ class Params:
         "dna_repair_iters", "dna_claim_rounds", "dna_local_rc",
         "dna_pmer_gate", "dna_siv_cap", "dna_prefix_ramp",
         "dna_local_lite", "dna_canon", "dna_row_global", "dna_pe_pos_ctx",
-        "dna_ctx_v",
+        "dna_ctx_v", "dna_pe_mesh",
     )
 
     # decode-affecting params whose absence in an archive header means the
@@ -259,7 +267,7 @@ class Params:
                    "dna_pmer_gate": 0, "dna_siv_cap": 13,
                    "dna_prefix_ramp": 0, "dna_local_lite": 0,
                    "dna_canon": 0, "dna_row_global": 0, "dna_pe_pos_ctx": 0,
-                   "dna_ctx_v": 1}
+                   "dna_ctx_v": 1, "dna_pe_mesh": 0}
 
     def store_params(self) -> bytes:
         d = {}

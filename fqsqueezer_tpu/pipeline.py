@@ -69,8 +69,12 @@ def make_configs(p: Params):
         # anchor machinery on single-chip AND mesh paths (round 4): the
         # mesh replicates the pair table per device (sharded.state_specs)
         # and evolves it from the gathered batch, so anchors replay
-        # identically on every shard
-        pe_log2_buckets=p.pe_log2_buckets if is_pe else 0,
+        # identically on every shard. Mesh archives written BEFORE the
+        # anchors reached the mesh carry no pe stream despite a nonzero
+        # pe_log2_buckets in the header — the dna_pe_mesh knob (absent =>
+        # legacy 0) gates mesh enablement so they keep decoding
+        pe_log2_buckets=p.pe_log2_buckets if is_pe and (
+            p.mesh_dp * p.mesh_tp <= 1 or p.dna_pe_mesh > 0) else 0,
         pe_pos_ctx=p.dna_pe_pos_ctx > 0,
         ctx_v=p.dna_ctx_v)
     qmode = p.quality_mode.value
@@ -814,6 +818,12 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
         for take, L, streams in batches:
             padded = canonical_padded(take, first, p.max_batch_reads, align)
             cap = padded * max(L, 2)
+            # PE anchor mode recodes pairs as 3 expanded rows (read1 / rowA /
+            # rowB, pe.expand_pe_rows): the dna stream can emit up to
+            # 1.5 * padded * L symbols (<= 1 u16 word each), so its decoder
+            # plane must be sized to the expanded grid, not the read grid
+            d_cap = (3 * (padded // 2) * max(L, 2)
+                     if dcfg.pe_log2_buckets > 0 else cap)
 
             def fit(words, cap):
                 w = np.zeros((cap,), np.uint32)
@@ -847,7 +857,7 @@ def decompress_file(p_cli: Params, in_path: str, out_path: str,
             # one pipelined host->device push per batch (tunnel latency-bound)
             m_w, i_w, d_w, q_w, pe_w = jax.device_put(
                 (fit(m_words, mcfg.n_per_read * padded),
-                 fit(i_words, i_cap), fit(d_words, cap), fit(q_words, cap),
+                 fit(i_words, i_cap), fit(d_words, d_cap), fit(q_words, cap),
                  fit(pe_words, pe_cap)))
             (lengths, codes, qsyms, id_batch, state,
              (m_x, d_x, q_x, i_x, pe_x)) = _decode_batch(

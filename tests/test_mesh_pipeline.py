@@ -83,3 +83,40 @@ def test_mesh_pe_roundtrip(tmp_path):
     mesh_pipeline.decompress_file_mesh(Params(), arc, o1, o2)
     assert open(p1, "rb").read() == open(o1, "rb").read()
     assert open(p2, "rb").read() == open(o2, "rb").read()
+
+
+def test_legacy_mesh_pe_header_decodes_with_anchors_off():
+    """Mesh PE archives written before dna_pe_mesh existed carry NO pe
+    stream despite a nonzero pe_log2_buckets in the header: the absent knob
+    must load as 0 and gate the anchor machinery off (advisor round-4
+    medium finding), while single-chip PE headers keep anchors regardless."""
+    import json
+
+    from fqsqueezer_tpu.params import Params, DnaMode
+    from fqsqueezer_tpu import pipeline
+
+    p = Params()
+    p.dna_mode = DnaMode.PE_ORIGINAL
+    p.mesh_dp, p.mesh_tp = 2, 1
+    blob = p.store_params()
+    d = json.loads(blob.decode())
+    assert d["dna_pe_mesh"] == 1          # new writers stamp the knob
+    del d["dna_pe_mesh"]                  # simulate a round-3 archive
+    legacy = Params.load_params(json.dumps(d).encode(), base=Params())
+    assert legacy.dna_pe_mesh == 0
+    dcfg, _, _, _ = pipeline.make_configs(legacy)
+    assert dcfg.pe_log2_buckets == 0      # anchors off: stream layout matches
+
+    # new mesh archive (knob present) keeps anchors on
+    dcfg_new, _, _, _ = pipeline.make_configs(
+        Params.load_params(blob, base=Params()))
+    assert dcfg_new.pe_log2_buckets > 0
+
+    # single-chip legacy PE header (no knob, mesh 1x1): anchors stay on
+    p1 = Params()
+    p1.dna_mode = DnaMode.PE_ORIGINAL
+    d1 = json.loads(p1.store_params().decode())
+    del d1["dna_pe_mesh"]
+    legacy1 = Params.load_params(json.dumps(d1).encode(), base=Params())
+    dcfg1, _, _, _ = pipeline.make_configs(legacy1)
+    assert dcfg1.pe_log2_buckets > 0
