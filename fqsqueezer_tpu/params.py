@@ -181,6 +181,14 @@ class Params:
     # archive-header knob for variable-length real data; default off.
     # Decode-affecting; legacy archives decode with 0.
     dna_pe_pos_ctx: int = 0
+    # suspect-tracked 1-substitution s-mer miss evidence (round 5; see
+    # streams/dna.py DnaConfig.rough — the O(4)-finds answer to the
+    # reference's find_counts_rough_s, dna.cpp:257-292). Offline pricing:
+    # -68.5 KB DNA on the standard corpus (88% of the attributed pmer-level
+    # gap), 98.3% rank-0 among rescued positions (tools/study_rough.py).
+    # Decode-affecting; applies only with row_global + canon + ctx_v >= 2
+    # (gated in make_configs); legacy archives decode with 0.
+    dna_rough: int = 1
     # PE anchor machinery ON THE MESH (round 4+): archives written before
     # this knob existed store mesh_dp > 1 + dna_mode PE_* + a nonzero
     # pe_log2_buckets but carry NO pe stream (the old writer zeroed the
@@ -255,7 +263,7 @@ class Params:
         "dna_repair_iters", "dna_claim_rounds", "dna_local_rc",
         "dna_pmer_gate", "dna_siv_cap", "dna_prefix_ramp",
         "dna_local_lite", "dna_canon", "dna_row_global", "dna_pe_pos_ctx",
-        "dna_ctx_v", "dna_pe_mesh",
+        "dna_ctx_v", "dna_pe_mesh", "dna_rough",
     )
 
     # decode-affecting params whose absence in an archive header means the
@@ -267,7 +275,7 @@ class Params:
                    "dna_pmer_gate": 0, "dna_siv_cap": 13,
                    "dna_prefix_ramp": 0, "dna_local_lite": 0,
                    "dna_canon": 0, "dna_row_global": 0, "dna_pe_pos_ctx": 0,
-                   "dna_ctx_v": 1, "dna_pe_mesh": 0}
+                   "dna_ctx_v": 1, "dna_pe_mesh": 0, "dna_rough": 0}
 
     def store_params(self) -> bytes:
         d = {}

@@ -76,7 +76,11 @@ def make_configs(p: Params):
         pe_log2_buckets=p.pe_log2_buckets if is_pe and (
             p.mesh_dp * p.mesh_tp <= 1 or p.dna_pe_mesh > 0) else 0,
         pe_pos_ctx=p.dna_pe_pos_ctx > 0,
-        ctx_v=p.dna_ctx_v)
+        ctx_v=p.dna_ctx_v,
+        # rough rescue needs the rg row scan (streak ages), canonical
+        # s-table probes, and the widened v2+ context layout
+        rough=1 if (p.dna_rough > 0 and row_global and p.dna_canon > 0
+                    and p.dna_ctx_v >= 2) else 0)
     qmode = p.quality_mode.value
     qcfg = None
     if p.quality_mode != QualityMode.NONE:

@@ -56,11 +56,16 @@ A_SYM = 5                 # alphabet: 4 ranks/bases + N
 # own repair flag. Not adopted.
 CODE_CTX_BITS = 22
 CODE_CTX_BITS_V1 = 20
+# rough-evidence layout (cfg.rough): the level field widens to 3 bits to
+# fit the RSMER rough level, shifting every later field up one bit
+CODE_CTX_BITS_ROUGH = 23
 LET_CTX_BITS = 19
 N_MODEL_CTX = (1 << CODE_CTX_BITS) + (1 << LET_CTX_BITS)
 
 
 def _ctx_bits(cfg) -> int:
+    if cfg.rough:
+        return CODE_CTX_BITS_ROUGH
     return CODE_CTX_BITS if cfg.ctx_v >= 2 else CODE_CTX_BITS_V1
 
 
@@ -77,6 +82,10 @@ _Q1 = (1, 2, 3, 4, 6, 8, 16)                                     # 3 bits
 _Q23 = (1, 2, 4)                                                 # 2 bits
 
 LEVEL_NONE, LEVEL_PMER, LEVEL_SMER, LEVEL_MIXED, LEVEL_BMER = 0, 1, 2, 3, 4
+# rough 1-substitution s-mer evidence (cfg.rough): evidence-wise between
+# PMER and SMER, numbered past BMER so the existing >= comparisons (repair
+# triggers, which see only the DIRECT cascade) stay untouched
+LEVEL_RSMER = 5
 
 # coarse (parent) contexts for the two-level model mix (models.model_cdf_mix):
 # code branch keeps (level, q0, q1) = 9 bits; letters branch keeps the
@@ -86,6 +95,14 @@ LEVEL_NONE, LEVEL_PMER, LEVEL_SMER, LEVEL_MIXED, LEVEL_BMER = 0, 1, 2, 3, 4
 # coarse enough to be mature everywhere.
 N_COARSE_CODE = 1 << 9
 N_COARSE_CTX = N_COARSE_CODE + (1 << 10)
+# rough layout: the coarse code context keeps (level, q0, q1) like v2, but
+# the 3-bit level field makes it 10 bits
+N_COARSE_CODE_ROUGH = 1 << 10
+N_COARSE_CTX_ROUGH = N_COARSE_CODE_ROUGH + (1 << 10)
+
+
+def _n_coarse_ctx(cfg) -> int:
+    return N_COARSE_CTX_ROUGH if cfg.rough else N_COARSE_CTX
 
 
 def _coarse_ctx(cfg, ctx_all):
@@ -93,9 +110,14 @@ def _coarse_ctx(cfg, ctx_all):
     layout as _code_ctx / _letters_plane, so no extra plumbing; the v2
     fields at bits 20-23 stay out of the coarse parent by construction)."""
     is_let = ctx_all >= (1 << _ctx_bits(cfg))
-    code_c = ctx_all & 0x1FF                       # level | q0<<2 | q1<<6
+    if cfg.rough:
+        code_c = ctx_all & 0x3FF                   # lev3 | q0<<3 | q1<<7
+        n_code = N_COARSE_CODE_ROUGH
+    else:
+        code_c = ctx_all & 0x1FF                   # level | q0<<2 | q1<<6
+        n_code = N_COARSE_CODE
     let_c = (ctx_all & 0x3F) | (((ctx_all >> 15) & 0xF) << 6)
-    return jnp.where(is_let, N_COARSE_CODE + let_c, code_c)
+    return jnp.where(is_let, n_code + let_c, code_c)
 
 # k-mer repair (reference repair_kmers_existing/missing, dna.cpp:333-454):
 # when the actual base is unseen in a confident context, the rolling k-mer
@@ -197,6 +219,18 @@ class DnaConfig:
     pe_pos_ctx: bool = False
     # code-context layout version (see CODE_CTX_BITS note); decode-affecting
     ctx_v: int = 1
+    # suspect-tracked 1-substitution s-mer miss evidence (round 5; the TPU
+    # answer to the reference's find_counts_rough_s, dna.cpp:257-292): when
+    # the s/b levels both miss, the likely error position is the context
+    # base that entered the window when the current miss streak began — a
+    # streak-age register both sides carry deterministically. The 4
+    # substitutions of that ONE position are probed in the existing
+    # canonical s-table (O(4) finds; no new table, no insert traffic) and
+    # their summed counts become the RSMER cascade level. Offline pricing
+    # (tools/study_rough.py): -68.5 KB of the +78 KB pmer-level gap, 98.3%
+    # rank-0 among rescued positions. Decode-affecting; requires
+    # row_global + canon + ctx_v >= 2 (gated in make_configs).
+    rough: int = 0
 
 
 # position-bucket "length" for rowB under pe_pos_ctx: large enough that the
@@ -240,7 +274,8 @@ def dna_state_create(cfg: DnaConfig) -> DnaState:
         pe_state = tables.pair_create(cfg.pe_log2_buckets) + (
             models.model_create(_pe.PE_N_CTX, _pe.PE_N_SYM),)
     mk = tables.ktable_create if cfg.canon else tables.table_create
-    n_model = _n_model_ctx(cfg) + (N_COARSE_CTX if cfg.mix_w > 0 else 0)
+    n_model = _n_model_ctx(cfg) + (_n_coarse_ctx(cfg) if cfg.mix_w > 0
+                                   else 0)
     return DnaState(
         siv=tables.siv_create(cfg.siv_len),
         s_tc=mk(cfg.smer_log2_buckets),
@@ -374,6 +409,66 @@ def _cascade_combine(cp, cs, cb, fp, fs, fb):
     return counts, level
 
 
+def _rough_counts(cfg, be, s_tc, lo, hi, rlo, rhi, age, valid):
+    """Summed s-table counts of the 4 single-base substitutions at context
+    offset `age` (TPU rederivation of find_counts_rough_s, reference
+    dna.cpp:257-292, restricted to the ONE suspect position — see
+    DnaConfig.rough). lo/hi: (smer_len-1)-base context windows (newest
+    base in the low bits), rlo/rhi their reverse complements, age: [...]
+    int32 suspect offsets in [0, smer_len-2] (clipped by the caller),
+    valid: [...] bool. Returns [..., 4] int32 counts clipped to 255.
+
+    The probe whose substitution equals the original base would re-query
+    the direct (missed) s-mer and contribute zeros, so only the 3 true
+    neighbors are probed: per lane, probe k substitutes j_k = k + (k >=
+    original base) — 3 row gathers per position."""
+    w = cfg.smer_len - 1
+    a2 = (2 * age).astype(jnp.uint32)                 # fwd bit offset
+    d2 = (2 * (w - 1 - age)).astype(jnp.uint32)       # rc bit offset
+    a2l = jnp.minimum(a2, 31)
+    a2h = jnp.where(a2 >= 32, a2 - 32, 0)
+    d2l = jnp.minimum(d2, 31)
+    d2h = jnp.where(d2 >= 32, d2 - 32, 0)
+    fwd_lo = a2 < 32
+    rc_lo = d2 < 32
+    orig = jnp.where(fwd_lo, lo >> a2l, hi >> a2h) & jnp.uint32(3)
+    acc = jnp.zeros(lo.shape + (4,), jnp.int32)
+    for k in range(3):
+        ju = jnp.uint32(k) + (jnp.uint32(k) >= orig).astype(jnp.uint32)
+        cj = jnp.uint32(3) - ju
+        lo_j = jnp.where(fwd_lo,
+                         (lo & ~(jnp.uint32(3) << a2l)) | (ju << a2l), lo)
+        hi_j = jnp.where(fwd_lo, hi,
+                         (hi & ~(jnp.uint32(3) << a2h)) | (ju << a2h))
+        rlo_j = jnp.where(rc_lo,
+                          (rlo & ~(jnp.uint32(3) << d2l)) | (cj << d2l), rlo)
+        rhi_j = jnp.where(rc_lo, rhi,
+                          (rhi & ~(jnp.uint32(3) << d2h)) | (cj << d2h))
+        q = _canon_query(lo_j, hi_j, rlo_j, rhi_j, cfg.smer_len,
+                         cfg.smer_log2_buckets)
+        c, _ = be.ktable_find(s_tc, q[0], q[1], cfg.smer_log2_buckets)
+        acc = acc + c
+    return jnp.minimum(jnp.where(valid[..., None], acc, 0), 255)
+
+
+def _combine_rough(counts, level, cr, fr):
+    """Fold rough 1-sub evidence into a combined cascade result: it ranks
+    above SIV/none and below direct s/b evidence."""
+    use = fr & (level <= LEVEL_PMER)
+    counts = jnp.where(use[..., None], cr, counts)
+    level = jnp.where(use, LEVEL_RSMER, level)
+    return counts, level
+
+
+def _miss_age(miss, pos):
+    """[.., L] suspect age per position from the consecutive-miss run
+    length: age = pos - (last non-miss position) - 1, vectorized with a
+    cummax along the read axis — identical to the decoder's carried
+    streak-age register."""
+    last_hit = jax.lax.cummax(jnp.where(miss, -1, pos), axis=miss.ndim - 1)
+    return pos - last_hit - 1
+
+
 def _merge_local(parts, cs_l, cb_l):
     """Fold in-batch local s/b counts into the cascade parts (the reference
     consults ht_*_local alongside the globals in the find cascade,
@@ -422,15 +517,28 @@ def _base_of_rank(counts, r):
     return jnp.where(r >= 4, 4, base)
 
 
-def _code_ctx(level, counts, pb, nz_hist, prevc=None):
+def _code_ctx(level, counts, pb, nz_hist, prevc=None, rough: bool = False):
     """Pack the count-conditioned context (analog of determine_ctx_codes
     bit-fields, code_ctx.cpp:257-324, single level — the reference's 7-level
     hierarchy is replaced by direct indexing + smoothing). v2 (prevc not
     None) appends the previous-position level class (see CODE_CTX_BITS
-    note). Adding let_max (lv5's most-likely-base
-    identity) was measured WORSE on the benchmark corpus (+4KB DNA):
-    context splitting beats its signal."""
+    note). The rough layout widens the level field to 3 bits (RSMER maps
+    to field value 4), shifting every later field up one bit. Adding
+    let_max (lv5's most-likely-base identity) was measured WORSE on the
+    benchmark corpus (+4KB DNA): context splitting beats its signal."""
     cs = jnp.sort(counts, axis=-1)[..., ::-1]
+    if rough:
+        lf = jnp.where(level == LEVEL_RSMER, 4, level - 1).astype(jnp.int32)
+        ctx = lf
+        ctx = ctx | (_quant(cs[..., 0], _Q0) << 3)
+        ctx = ctx | (_quant(cs[..., 1], _Q1) << 7)
+        ctx = ctx | (_quant(cs[..., 2], _Q23) << 10)
+        ctx = ctx | (_quant(cs[..., 3], _Q23) << 12)
+        ctx = ctx | (pb << 14)
+        ctx = ctx | (jnp.minimum(nz_hist, 4) << 18)
+        if prevc is not None:
+            ctx = ctx | (prevc << 21)
+        return ctx
     ctx = (level - 1).astype(jnp.int32)
     ctx = ctx | (_quant(cs[..., 0], _Q0) << 2)
     ctx = ctx | (_quant(cs[..., 1], _Q1) << 6)
@@ -444,11 +552,14 @@ def _code_ctx(level, counts, pb, nz_hist, prevc=None):
 
 
 def _level_class(cfg, level, use_code):
-    """0 = letters/none, 1 = pmer-only evidence, 2 = s/mixed/b evidence —
-    the coverage-state signal that separates genuine low-level evidence
-    from short-context genome collisions."""
-    return jnp.where(use_code,
-                     jnp.where(level >= LEVEL_SMER, 2, 1), 0)
+    """0 = letters/none, 1 = pmer-only evidence, 2 = s/mixed/b evidence,
+    3 = rough 1-sub evidence (cfg.rough only) — the coverage-state signal
+    that separates genuine low-level evidence from short-context genome
+    collisions."""
+    cls = jnp.where(level >= LEVEL_SMER, 2, 1)
+    if cfg.rough:
+        cls = jnp.where(level == LEVEL_RSMER, 3, cls)
+    return jnp.where(use_code, cls, 0)
 
 
 def _popcount4(v):
@@ -793,7 +904,8 @@ def _ctx_sym_from_counts(cfg, counts, level, codes_blk, code_active_blk,
     nz_hist = sum(kmers.shift_right(rbit, d) for d in (1, 2, 3, 4))
     if cfg.ctx_v >= 2:
         prevc = kmers.shift_right(_level_class(cfg, level, use_code), 1)
-        code_ctx = _code_ctx(level, counts, pb_blk, nz_hist, prevc)
+        code_ctx = _code_ctx(level, counts, pb_blk, nz_hist, prevc,
+                             rough=cfg.rough > 0)
     else:
         code_ctx = _code_ctx(level, counts, pb_blk, nz_hist)
     ctx_all = jnp.where(use_code, code_ctx, (1 << _ctx_bits(cfg)) + let_blk)
@@ -940,6 +1052,30 @@ def dna_process_batch_rg(cfg: DnaConfig, state: DnaState, codes, kcodes,
         eff_r = dna_effective_kcodes(cfg, st_r, codes_r, kc_r, len_r, be)
         parts_r, _ = _window_parts(cfg, st_r, eff_r, len_r, be)
         counts, level = _cascade_combine(*parts_r)
+        if cfg.rough:
+            # suspect-tracked 1-sub s-mer rescue (see DnaConfig.rough):
+            # miss runs over the DIRECT finds give each position its
+            # suspect age; 4 substituted probes of the row-fresh s-table
+            sw = cfg.smer_len - 1
+            act_rr = pos < len_r[:, None]
+            fs_d, fb_d = parts_r[4], parts_r[5]
+            miss = act_rr & (pos >= sw) & ~fs_d & ~fb_d
+            age = _miss_age(miss, jnp.broadcast_to(pos, miss.shape))
+            ok = miss & (age >= 0) & (age <= sw - 1)
+            s_lo, s_hi = kmers.pack_windows(eff_r, sw)
+            s_lo, s_hi = kmers.shift_right(s_lo, 1), kmers.shift_right(s_hi, 1)
+            rs_lo, rs_hi = kmers.pack_windows_rc(eff_r, sw)
+            rs_lo = kmers.shift_right(rs_lo, 1)
+            rs_hi = kmers.shift_right(rs_hi, 1)
+            # probe only columns >= sw (misses are impossible earlier, and
+            # masked events still pay full engine cost)
+            cr_t = _rough_counts(
+                cfg, be, s_tc, s_lo[:, sw:], s_hi[:, sw:], rs_lo[:, sw:],
+                rs_hi[:, sw:], jnp.clip(age[:, sw:], 0, sw - 1), ok[:, sw:])
+            cr = jnp.concatenate(
+                [jnp.zeros(ok.shape[:1] + (sw, 4), jnp.int32), cr_t], axis=1)
+            fr = ok & (jnp.sum(cr, axis=-1) > 0)
+            counts, level = _combine_rough(counts, level, cr, fr)
         ctx_r, sym_r = _ctx_sym_from_counts(
             cfg, counts, level, codes_r, cact_r, pb_r, let_r, pos)
         cdf = _dna_cdf(cfg, mv, None, ctx_r, cfg.scale_bits)
@@ -1281,12 +1417,12 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             my_lcp = jnp.zeros((N,), jnp.int32)
             src_row = jnp.zeros((N, 1), jnp.int32)
 
-        def mk_inner(ramp_q):
-            return partial(inner, ramp_q)
+        def mk_inner(ramp_q, rough_on=False):
+            return partial(inner, ramp_q, rough_on)
 
-        def inner(ramp_q, c2, i):
+        def inner(ramp_q, rough_on, c2, i):
             (x, ptr, pkey, slo, shi, blo, bhi, rregs, lh, rh, rep_cnt,
-             prevc) = c2
+             prevc, srun) = c2
             active = i < length
             in_prefix = active & (i < my_lcp) if with_lcp \
                 else jnp.zeros_like(active)
@@ -1364,6 +1500,24 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             else:
                 counts, level = counts_g, level_g
 
+            if cfg.rough and rough_on:
+                # suspect-tracked 1-sub rescue, mirror of the encoder's
+                # block in dna_process_batch_rg: the carried streak-age
+                # register srun counts consecutive s/b misses in this lane
+                # (rough_on is static: segments below the s window compile
+                # no probe code — misses are impossible there and srun
+                # provably stays 0)
+                sw_r = cfg.smer_len - 1
+                miss = vs & ~parts[4] & ~parts[5]
+                srun = jnp.where(miss, srun + 1, 0)
+                age = srun - 1
+                ok_r = miss & (age <= sw_r - 1)
+                cr = _rough_counts(cfg, be, st_row.s_tc, s_ctx[0], s_ctx[1],
+                                   rslo, rshi, jnp.clip(age, 0, sw_r - 1),
+                                   ok_r)
+                fr = ok_r & (jnp.sum(cr, axis=-1) > 0)
+                counts, level = _combine_rough(counts, level, cr, fr)
+
             use_code = (i >= cfg.prefix_len) & (level > LEVEL_NONE)
             if with_pe and cfg.pe_pos_ctx:
                 # pe_pos_ctx row coordinate map (mirror of _pe_pos_map):
@@ -1389,7 +1543,8 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             nz = _popcount4(rh)
             if cfg.ctx_v >= 2:
                 # v2 field: previous-position level class (carried)
-                code_ctx = _code_ctx(level, counts, pb, nz, prevc)
+                code_ctx = _code_ctx(level, counts, pb, nz, prevc,
+                                     rough=cfg.rough > 0)
             else:
                 code_ctx = _code_ctx(level, counts, pb, nz)
             let_ctx = (lh & LH_MASK) | (pb << 15)
@@ -1438,46 +1593,57 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
             prevc2 = _level_class(cfg, level, use_code)
             ys = (base, kc.astype(jnp.int32), ctx_all, sym, in_anchor)
             return (x, ptr, pkey, slo, shi, blo, bhi, rregs2, lh, rh,
-                    rep_cnt, prevc2), ys
+                    rep_cnt, prevc2, srun), ys
 
         zeros_i = jnp.zeros((N,), jnp.int32)
         inner0 = (x, ptr, pkey, slo, shi, blo, bhi, rregs,
                   jnp.full((N,), LH_RESET, jnp.int32), zeros_i, zeros_i,
-                  zeros_i)
+                  zeros_i, zeros_i)
         ramp_steps = ([q for q in _ramp_cols(cfg) if q < L]
                       if cfg.prefix_ramp else [])
+        # static segmentation of the L positions: plain scan below the ramp
+        # zone, ONE static step per ramp position (exact-width range
+        # reads), plain scan after. With rough evidence on, scan segments
+        # additionally split at the s-window boundary so the probe block
+        # only compiles into steps that can actually miss (i >= s_w).
+        segs = []                       # ("scan", s, e) | ("ramp", q)
         if ramp_steps:
-            # plain scan below the ramp zone, ONE static step per ramp
-            # position (exact-width range reads), plain scan after
-            c_cur = inner0
-            ys_parts = []
-            p0 = ramp_steps[0]
-            if p0 > 0:
-                c_cur, ys_h = jax.lax.scan(
-                    mk_inner(None), c_cur, jnp.arange(p0, dtype=jnp.int32),
-                    unroll=min(DECODE_UNROLL, p0))
-                ys_parts.append(ys_h)
+            if ramp_steps[0] > 0:
+                segs.append(("scan", 0, ramp_steps[0]))
             for q in ramp_steps:
-                c_cur, ys_q = inner(q, c_cur, jnp.int32(q))
-                ys_parts.append(jax.tree.map(lambda a: a[None], ys_q))
-            rest0 = ramp_steps[-1] + 1
-            if rest0 < L:
-                c_cur, ys_t = jax.lax.scan(
-                    mk_inner(None), c_cur,
-                    jnp.arange(rest0, L, dtype=jnp.int32),
-                    unroll=min(DECODE_UNROLL, L - rest0))
-                ys_parts.append(ys_t)
-            ys = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
-                              *ys_parts)
-            (x, ptr, pkey, slo, shi, blo, bhi, rregs,
-             _, _, _, _) = c_cur
+                segs.append(("ramp", q))
+            if ramp_steps[-1] + 1 < L:
+                segs.append(("scan", ramp_steps[-1] + 1, L))
         else:
-            (x, ptr, pkey, slo, shi, blo, bhi, rregs,
-             _, _, _, _), ys = \
-                jax.lax.scan(
-                    mk_inner(None), inner0,
-                    jnp.arange(L, dtype=jnp.int32),
-                    unroll=min(DECODE_UNROLL, L))
+            segs.append(("scan", 0, L))
+        if cfg.rough:
+            split = []
+            for sg in segs:
+                if sg[0] == "scan" and sg[1] < s_w < sg[2]:
+                    split.append(("scan", sg[1], s_w))
+                    split.append(("scan", s_w, sg[2]))
+                else:
+                    split.append(sg)
+            segs = split
+        c_cur = inner0
+        ys_parts = []
+        for sg in segs:
+            if sg[0] == "ramp":
+                q = sg[1]
+                c_cur, ys_q = inner(q, q >= s_w, c_cur, jnp.int32(q))
+                ys_parts.append(jax.tree.map(lambda a: a[None], ys_q))
+            else:
+                _, s0, e0 = sg
+                c_cur, ys_s = jax.lax.scan(
+                    mk_inner(None, rough_on=e0 > s_w), c_cur,
+                    jnp.arange(s0, e0, dtype=jnp.int32),
+                    unroll=min(DECODE_UNROLL, e0 - s0))
+                ys_parts.append(ys_s)
+        ys = (ys_parts[0] if len(ys_parts) == 1 else
+              jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                           *ys_parts))
+        (x, ptr, pkey, slo, shi, blo, bhi, rregs,
+         _, _, _, _, _) = c_cur
         base_r = ys[0].T                       # [L, N] -> [N, L]
         eff_r = ys[1].T
         ctx_r = ys[2].T
