@@ -405,7 +405,11 @@ def ktable_find(tc: jax.Array, bkt: jax.Array, tags4: jax.Array,
                 log2_base: int = -1):
     """4-way next-base query. bkt: [...] base bucket indices (middle hash at
     CREATION size), tags4: [..., 4] candidate cell tags.
-    Returns ([..., 4] int32 counts, [...] bool found) — ONE row gather."""
+    Returns ([..., 4] int32 counts, [...] bool found) — ONE row gather.
+    Dispatches on the row width: K2 tables (single-word cells) take the
+    single-scatter protocol path."""
+    if _is_k2(tc):
+        return k2_find(tc, bkt, tags4, log2_base)
     log2_buckets = tc.shape[0].bit_length() - 1
     if log2_base < 0:
         log2_base = log2_buckets
@@ -439,6 +443,8 @@ def ktable_update(tc: jax.Array, bkt: jax.Array, tag: jax.Array,
     two whole-table SWAR sweeps (another ~12-15 ms fixed per call) — the
     update is now O(events) engine work only, which is what makes the
     row-granular protocol (8 calls per batch) affordable."""
+    if _is_k2(tc):
+        return k2_update(tc, bkt, tag, valid, log2_base)
     n_buckets = tc.shape[0]
     log2_buckets = n_buckets.bit_length() - 1
     if log2_base < 0:
@@ -473,6 +479,8 @@ def ktable_grow(tc: jax.Array, log2_base: int):
     """Double the bucket count at a group boundary (see table_grow). Cells
     move by their tag's mid-derived growth bit; each cell's u16 counter moves
     with it (count words are repacked per destination)."""
+    if _is_k2(tc):
+        return k2_grow(tc, log2_base)
     n_buckets = tc.shape[0]
     log2b = n_buckets.bit_length() - 1
     tags = tc[:, :KBUCKET]
@@ -503,7 +511,10 @@ def ktable_clamp(tc: jax.Array) -> jax.Array:
     255 find-time clip are observably identical anyway; without this, a
     counter reaching 0xFFFF would wrap and carry +1 into the adjacent
     slot's packed half (cross-slot pollution on ultra-repetitive corpora).
-    Post-clamp headroom is 32767 increments per group per slot."""
+    Post-clamp headroom is 32767 increments per group per slot.
+    K2 tables saturate at 255 inside the update itself — no-op."""
+    if _is_k2(tc):
+        return tc
     w = tc[:, KBUCKET:]
     lo = jnp.minimum(w & jnp.uint32(0xFFFF), jnp.uint32(0x8000))
     hi = jnp.minimum(w >> 16, jnp.uint32(0x8000))
@@ -511,8 +522,131 @@ def ktable_clamp(tc: jax.Array) -> jax.Array:
 
 
 def ktable_fill_stats(tc: jax.Array):
+    if _is_k2(tc):
+        return (jnp.sum((tc != EMPTY).astype(jnp.int32)),
+                tc.shape[0] * KBUCKET)
     used = jnp.sum((tc[:, :KBUCKET] != EMPTY).astype(jnp.int32))
     return used, tc.shape[0] * KBUCKET
+
+
+# ---------------------------------------------------------------------------
+# K2Table: single-word cells, single-scatter updates (round 5)
+# ---------------------------------------------------------------------------
+# Update-protocol redesign of KTable driven by the measured engine cost
+# model (tools/profile_r5 series): scatters cost 16-25 ns/event and are
+# 5-8x a row gather, so the u16-counter protocol's two scatter passes per
+# update call (claim scatter-max + count scatter-add) dominate both the
+# encode row pass and the decode scan. A K2 cell packs (tag24 | count8)
+# into ONE u32, so an update is ONE row gather + ONE scatter-max:
+#   * found events write cell+1 (saturating at count 255 — observably
+#     identical to the old u16 counters, which were clipped to 255 at
+#     find time anyway);
+#   * new keys write tag|1 into a cell that was EMPTY in the gather
+#     snapshot. Claims and increments can never collide on a cell (found
+#     requires nonzero-at-snapshot, claims require zero-at-snapshot), so
+#     the max combiner resolves every conflict deterministically.
+# The semantic difference vs the 3-pass protocol: same-key duplicates
+# WITHIN one update call collapse to +1 (both read the same snapshot and
+# write snapshot+1), so counts approximate "update calls touched" rather
+# than raw occurrences — the same flavor of sublinear counting as the
+# reference's probabilistic counters (utils.h:256-335), deterministic and
+# replayed identically by the decoder. Measured ratio effect on the bench
+# sweep: see BASELINE.md round 5. Decode-affecting (params.dna_sb_proto).
+#
+# Cell layout: [31:8] tag word (15 verification hash bits | forced 1 |
+# 4 mid-derived growth bits | 4-bit end-letter slot), [7:0] count.
+# Rows are KBUCKET single-word cells = 16 B (vs KW's 24 B) — the decode
+# scan's two fattest per-step gathers shrink by a third.
+
+_K2_TAG = jnp.uint32(0xFFFFFF00)
+
+
+def k2_create(log2_buckets: int):
+    return jnp.zeros((1 << log2_buckets, KBUCKET), dtype=jnp.uint32)
+
+
+def k2tag(tag: jax.Array) -> jax.Array:
+    """Compress a 32-bit KTable tag (kmers.ktag layout: end-letter slot in
+    the low nibble, growth bits [23, 27)) into the 24-bit cell tag word.
+    Bit 23 is forced so a stored cell is never 0 (= EMPTY)."""
+    return ((tag & jnp.uint32(0xF))
+            | (((tag >> 23) & jnp.uint32(0xF)) << 4)
+            | (((tag >> 4) & jnp.uint32(0x7FFF)) << 8)
+            | jnp.uint32(1 << 23))
+
+
+def k2_find(tc: jax.Array, bkt: jax.Array, tags4: jax.Array,
+            log2_base: int = -1):
+    """4-way next-base query over single-word cells — ONE 16 B row gather.
+    Same signature/semantics as ktable_find (counts are <= 255 by
+    construction instead of clipped at read time)."""
+    log2_buckets = tc.shape[0].bit_length() - 1
+    if log2_base < 0:
+        log2_base = log2_buckets
+    b = kbucket_of(tags4[..., 0], bkt, log2_buckets, log2_base)
+    row = tc[b]                                       # [..., KBUCKET]
+    tw = k2tag(tags4) << 8                            # [..., 4]
+    match = (row[..., None, :] & _K2_TAG) == tw[..., :, None]
+    cnt = (row & jnp.uint32(0xFF)).astype(jnp.int32)
+    counts = jnp.sum(jnp.where(match, cnt[..., None, :], 0), axis=-1)
+    found = jnp.any(match, axis=(-2, -1))
+    return counts, found
+
+
+def k2_update(tc: jax.Array, bkt: jax.Array, tag: jax.Array,
+              valid: jax.Array, log2_base: int = -1):
+    """Batch-insert/increment: ONE row gather + ONE scatter-max (see the
+    block comment). bkt/tag/valid: [n] flat; tag is the 32-bit KTable tag."""
+    n_buckets = tc.shape[0]
+    log2_buckets = n_buckets.bit_length() - 1
+    if log2_base < 0:
+        log2_base = log2_buckets
+    bkt = kbucket_of(tag, bkt, log2_buckets, log2_base)
+    spread = jnp.arange(tag.shape[0], dtype=jnp.int32) & (n_buckets - 1)
+    bkt = jnp.where(valid, bkt, spread)
+
+    row = tc[bkt]                                     # [n, KBUCKET]
+    tw = k2tag(tag) << 8
+    match = (row & _K2_TAG) == tw[:, None]
+    found = jnp.any(match, axis=1) & valid
+    cell = jnp.argmax(match, axis=1)
+    cellv = jnp.sum(jnp.where(match, row, 0), axis=1)
+    weights = (jnp.int32(1) << jnp.arange(KBUCKET, dtype=jnp.int32))[None, :]
+    bm = jnp.sum(jnp.where(row == EMPTY, weights, 0), axis=1)
+    want = valid & ~found & (bm > 0)
+    # slot rotation mixes the end-letter slot bits in (same-middle k-mers
+    # must pick different claim slots in one batch — see ktable_update)
+    j = ((tag >> 13) ^ tag).astype(jnp.int32) & (KBUCKET - 1)
+    rot = ((bm >> j) | (bm << (KBUCKET - j))) & ((1 << KBUCKET) - 1)
+    slot = (j + _ctz(rot)) & (KBUCKET - 1)
+    dcell = jnp.where(found, cell, slot)
+    newv = jnp.where(found,
+                     cellv + ((cellv & jnp.uint32(0xFF))
+                              < jnp.uint32(0xFF)).astype(jnp.uint32),
+                     tw | jnp.uint32(1))
+    ok = found | want
+    return tc.at[jnp.where(ok, bkt, n_buckets), dcell].max(newv, mode="drop")
+
+
+def k2_grow(tc: jax.Array, log2_base: int):
+    """Double the bucket count at a group boundary: cells move whole by
+    their tag word's next mid-derived growth bit (cell bits [12, 16))."""
+    n_buckets = tc.shape[0]
+    log2b = n_buckets.bit_length() - 1
+    live = tc != EMPTY
+    gb = ((tc >> (12 + log2b - log2_base)) & 1).astype(jnp.int32)
+    new_bkt = jnp.arange(n_buckets, dtype=jnp.int32)[:, None] \
+        + gb * n_buckets
+    slot = jnp.broadcast_to(jnp.arange(KBUCKET, dtype=jnp.int32)[None, :],
+                            tc.shape)
+    flat = jnp.where(live, new_bkt * KBUCKET + slot, 2 * n_buckets * KBUCKET)
+    new = jnp.zeros((2 * n_buckets * KBUCKET,), jnp.uint32)
+    new = new.at[flat.reshape(-1)].set(tc.reshape(-1), mode="drop")
+    return new.reshape(2 * n_buckets, KBUCKET)
+
+
+def _is_k2(tc: jax.Array) -> bool:
+    return tc.shape[-1] == KBUCKET
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,30 @@ def _mesh_and_specs(p: Params, dcfg, qcfg, mcfg, icfg, dp: int, tp: int):
     return mesh, state, bspec
 
 
+def _run_maintenance(p: Params, dcfg, maint, state):
+    """Apply group-boundary table maintenance and surface fill telemetry.
+    Mesh tables are presized (no sharded growth): past the single-chip
+    growth threshold inserts start dropping, so warn loudly."""
+    from .. import pipeline as _b
+
+    dna_state, fills = maint(state.dna)
+    state = state._replace(dna=dna_state)
+    if p.verbosity >= 1:
+        f = np.asarray(jax.device_get(fills))
+        print(f"  mesh fills: smer {int(f[0]):,} bmer {int(f[1]):,} "
+              f"siv nz {int(f[2]):,}")
+        for name, used, log2b, cells in (
+                ("smer", int(f[0]), dcfg.smer_log2_buckets, 4),
+                ("bmer", int(f[1]), dcfg.bmer_log2_buckets, 4)):
+            cap = (1 << log2b) * cells
+            if used * _b.GROW_DEN > cap * _b.GROW_NUM:
+                print(f"  WARNING: mesh {name} table fill "
+                      f"{used / cap:.2f} exceeds the growth threshold; "
+                      f"mesh tables are presized (no sharded growth) — "
+                      f"new k-mers are being dropped. Raise -gs.")
+    return state
+
+
 def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
                        tp: int = 1,
                        data: Optional[fastq.FastqData] = None,
@@ -78,6 +102,7 @@ def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
     mesh, state, bspec = _mesh_and_specs(p, dcfg, qcfg, mcfg, icfg, dp, tp)
     enc = sharded.make_sharded_model(dcfg, qcfg, mcfg, icfg, mesh)
     rns = sharded.make_sharded_rans(mesh, p.scale_bits)
+    maint = sharded.make_sharded_maintenance(dcfg, qcfg, mcfg, icfg, mesh)
     n_streams = (2 + (qcfg is not None) + (icfg is not None)
                  + (dcfg.pe_log2_buckets > 0))
 
@@ -134,6 +159,10 @@ def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
             # groups stay independently decodable: id token chains reset at
             # every group boundary (mirrors pipeline.flush_group)
             id_chain[:] = [None] * len(id_chain)
+        # group-boundary table maintenance (clamp + SIV prune), replayed
+        # identically by the mesh decoder at the same boundary
+        nonlocal state
+        state = _run_maintenance(p, dcfg, maint, state)
 
     for start, take, padded in base.batch_schedule(
             data.n_reads, N, p.max_batch_reads, align=align):
@@ -197,6 +226,7 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
         _, qrev = quality.qual_maps(qcfg.mode, qcfg.qt)
 
     dec_cache = {}
+    maint = sharded.make_sharded_maintenance(dcfg, qcfg, mcfg, icfg, mesh)
     id_chain = [None] * dp if icfg is not None else None
     is_pe = p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
     if is_pe:
@@ -304,6 +334,8 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
                 w1.write_batch(codes_np, quals_np, lengths_np, ids=ids_np)
         if got_crc != want_crc:
             raise ValueError(f"payload checksum mismatch (mesh decode)")
+        # mirror the encoder's group-boundary maintenance exactly
+        state = _run_maintenance(p, dcfg, maint, state)
     reader.close()
 
     n_out = w1.n_reads + (w2.n_reads if w2 is not None else 0)

@@ -128,8 +128,22 @@ class TpBackend:
     def ktable_find(self, tc_local, bkt, tags4, log2_base=-1):
         """Mirror of tables.ktable_find on the owned bucket range: u16 slot
         counters (2 per u32 word, tables.py KW layout), clipped to the u8
-        saturation ceiling at read time, psum'd over tp."""
+        saturation ceiling at read time, psum'd over tp. K2 tables
+        (single-word cells, tables.k2_find) dispatch on row width like the
+        single-chip entry point."""
         idx, own = self._own_bucket(tc_local, bkt)
+        if tc_local.shape[-1] == tables.KBUCKET:     # K2 cells
+            row = tc_local[idx]
+            tw = tables.k2tag(tags4) << 8
+            match = ((row[..., None, :] & tables._K2_TAG)
+                     == tw[..., :, None]) & own[..., None, None]
+            cnt = (row & jnp.uint32(0xFF)).astype(jnp.int32)
+            counts = jnp.sum(jnp.where(match, cnt[..., None, :], 0), axis=-1)
+            counts = jax.lax.psum(counts, self.axis)
+            found = jax.lax.psum(
+                jnp.any(match, axis=(-2, -1)).astype(jnp.int32),
+                self.axis) > 0
+            return counts, found
         B = tables.KBUCKET
         row = tc_local[idx]
         match = (row[..., None, :B] == tags4[..., :, None]) \
@@ -165,6 +179,59 @@ def state_specs(qual: bool, with_ids: bool = False, with_pe: bool = False):
         pe=(P(), P(), P(), P(), P()) if with_pe else None)
     return CodecState(dna=dna_spec, meta=P(), qual=P() if qual else None,
                       id=P() if with_ids else None)
+
+
+def make_sharded_maintenance(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
+    """Group-boundary table maintenance on the mesh — the coordinated-
+    restruct analog of the reference (application.cpp:894-902) and of the
+    single-chip pipeline.grow_tables: clamp the u16 slot counters away from
+    the wrap point (no-op under the K2 protocol, which saturates in-update)
+    and prune SIV singletons when the global fill crosses the same
+    threshold the single-chip path uses. Runs on identical state at the
+    same boundary on BOTH sides, so encoder and decoder stay in lockstep.
+
+    Growth is intentionally absent: mesh tables are presized from -gs
+    (params.adjust_kmer_sizes allocates ~2 cells per genome base across
+    the tp shards) and sharded growth would need a cross-shard cell
+    exchange; the returned fill stats let the caller surface a warning
+    when a shard exceeds the single-chip growth threshold (inserts start
+    dropping, like the reference's full buckets, ht_kmer.h:420-438).
+
+    Returns (new_dna_state, fills) with fills = [s_used, b_used, siv_nz]
+    GLOBAL counts (replicated)."""
+    from ..pipeline import SIV_PRUNE_NUM, SIV_PRUNE_DEN
+
+    n_tp = mesh.shape["tp"]
+
+    def step(dna_state):
+        s_tc, b_tc = dna_state.s_tc, dna_state.b_tc
+        if dcfg.canon:
+            s_tc = tables.ktable_clamp(s_tc)
+            b_tc = tables.ktable_clamp(b_tc)
+            fill_fn = tables.ktable_fill_stats
+        else:
+            fill_fn = tables.table_fill_stats
+        su, _ = fill_fn(s_tc)
+        bu, _ = fill_fn(b_tc)
+        nz_local, _ = tables.siv_fill(dna_state.siv)
+        su = jax.lax.psum(su, "tp")
+        bu = jax.lax.psum(bu, "tp")
+        nz = jax.lax.psum(nz_local, "tp")
+        # static threshold (python int): nz * DEN overflows int32 at the
+        # default siv_len-14 capacity (268M counters)
+        cap = 4 * dna_state.siv.shape[0] * n_tp
+        prune = nz > (cap * SIV_PRUNE_NUM) // SIV_PRUNE_DEN
+        siv = jnp.where(prune, tables.siv_prune(dna_state.siv),
+                        dna_state.siv)
+        return (dna_state._replace(siv=siv, s_tc=s_tc, b_tc=b_tc),
+                jnp.stack([su, bu, nz]))
+
+    dna_spec = dna.DnaState(
+        siv=P("tp"), s_tc=P("tp"), b_tc=P("tp"), model=P(),
+        pe=(P(), P(), P(), P(), P()) if dcfg.pe_log2_buckets > 0 else None)
+    fn = jax.shard_map(step, mesh=mesh, in_specs=(dna_spec,),
+                       out_specs=(dna_spec, P()), check_vma=False)
+    return jax.jit(fn)
 
 
 def _grids_step(dcfg, qcfg, mcfg, icfg, be, state, codes, kcodes, lengths,

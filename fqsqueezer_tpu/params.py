@@ -189,6 +189,14 @@ class Params:
     # Decode-affecting; applies only with row_global + canon + ctx_v >= 2
     # (gated in make_configs); legacy archives decode with 0.
     dna_rough: int = 1
+    # s/b table update protocol: 1 = K2 single-word cells, updates are one
+    # gather + one scatter-max (tables.k2_update; scatters measured 5-8x a
+    # gather per event — the 3-pass u16 protocol's two scatter passes were
+    # the largest block of both the encode row pass and the decode scan).
+    # Same-call duplicate occurrences collapse to +1 (deterministic,
+    # probabilistic-counter-flavored like the reference's utils.h:256-335).
+    # Decode-affecting; legacy archives decode with 0.
+    dna_sb_proto: int = 1
     # PE anchor machinery ON THE MESH (round 4+): archives written before
     # this knob existed store mesh_dp > 1 + dna_mode PE_* + a nonzero
     # pe_log2_buckets but carry NO pe stream (the old writer zeroed the
@@ -263,7 +271,7 @@ class Params:
         "dna_repair_iters", "dna_claim_rounds", "dna_local_rc",
         "dna_pmer_gate", "dna_siv_cap", "dna_prefix_ramp",
         "dna_local_lite", "dna_canon", "dna_row_global", "dna_pe_pos_ctx",
-        "dna_ctx_v", "dna_pe_mesh", "dna_rough",
+        "dna_ctx_v", "dna_pe_mesh", "dna_rough", "dna_sb_proto",
     )
 
     # decode-affecting params whose absence in an archive header means the
@@ -275,7 +283,8 @@ class Params:
                    "dna_pmer_gate": 0, "dna_siv_cap": 13,
                    "dna_prefix_ramp": 0, "dna_local_lite": 0,
                    "dna_canon": 0, "dna_row_global": 0, "dna_pe_pos_ctx": 0,
-                   "dna_ctx_v": 1, "dna_pe_mesh": 0, "dna_rough": 0}
+                   "dna_ctx_v": 1, "dna_pe_mesh": 0, "dna_rough": 0,
+                   "dna_sb_proto": 0}
 
     def store_params(self) -> bytes:
         d = {}

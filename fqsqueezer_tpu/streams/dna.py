@@ -231,6 +231,12 @@ class DnaConfig:
     # rank-0 among rescued positions. Decode-affecting; requires
     # row_global + canon + ctx_v >= 2 (gated in make_configs).
     rough: int = 0
+    # s/b-mer table update protocol (canon tables only): 0 = u16 slot
+    # counters, 3 engine passes per update; 1 = K2 single-word cells
+    # (tag24|cnt8), ONE gather + ONE scatter-max per update — see
+    # tables.k2_update. Decode-affecting (cell layout + duplicate-count
+    # semantics), stored in the archive header (params.dna_sb_proto).
+    sb_proto: int = 0
 
 
 # position-bucket "length" for rowB under pe_pos_ctx: large enough that the
@@ -273,7 +279,10 @@ def dna_state_create(cfg: DnaConfig) -> DnaState:
 
         pe_state = tables.pair_create(cfg.pe_log2_buckets) + (
             models.model_create(_pe.PE_N_CTX, _pe.PE_N_SYM),)
-    mk = tables.ktable_create if cfg.canon else tables.table_create
+    if cfg.canon:
+        mk = tables.k2_create if cfg.sb_proto else tables.ktable_create
+    else:
+        mk = tables.table_create
     n_model = _n_model_ctx(cfg) + (_n_coarse_ctx(cfg) if cfg.mix_w > 0
                                    else 0)
     return DnaState(

@@ -120,3 +120,77 @@ def test_legacy_mesh_pe_header_decodes_with_anchors_off():
     legacy1 = Params.load_params(json.dumps(d1).encode(), base=Params())
     dcfg1, _, _, _ = pipeline.make_configs(legacy1)
     assert dcfg1.pe_log2_buckets > 0
+
+
+def test_mesh_multi_group_maintenance_roundtrip(tmp_path):
+    """Multi-group mesh run on a dense corpus: the group-boundary
+    maintenance (clamp + SIV prune, sharded.make_sharded_maintenance) must
+    fire on the encoder and be replayed identically by the decoder (VERDICT
+    r4 #4). A tiny group_mem_bytes forces >= 3 groups; genome_kb dense
+    enough that the SIV prune threshold trips at some boundary — a
+    maintenance asymmetry would diverge the cascades and fail the crc."""
+    from fqsqueezer_tpu import archive
+
+    src = str(tmp_path / "in.fastq")
+    make_fastq(src, 1200, 72, seed=11, genome_kb=60)
+    p = small_params(dna_mode=DnaMode.SE_ORIGINAL,
+                     quality_mode=QualityMode.LOSSLESS,
+                     id_mode=IdMode.LOSSLESS)
+    p.n_lanes = 16
+    p.max_batch_reads = 128
+    arc = str(tmp_path / "m.fqst")
+    dst = str(tmp_path / "m.fastq")
+    stats = mesh_pipeline.compress_file_mesh(p, src, arc, dp=2, tp=2,
+                                             group_mem_bytes=64 << 10)
+    assert stats["n_reads"] == 1200
+    reader = archive.ArchiveReader(arc)
+    n_groups = 0
+    while reader.read_group(16) is not None:
+        n_groups += 1
+    reader.close()
+    assert n_groups >= 3, n_groups
+
+    mesh_pipeline.decompress_file_mesh(Params(), arc, dst)
+    assert open(src, "rb").read() == open(dst, "rb").read()
+
+
+def test_mesh_maintenance_prunes_siv():
+    """The sharded maintenance step prunes SIV singletons when the global
+    fill crosses the single-chip threshold, and clamps u16 counters."""
+    import jax
+    import jax.numpy as jnp
+
+    from fqsqueezer_tpu import pipeline as base
+    from fqsqueezer_tpu.parallel import sharded
+    from fqsqueezer_tpu.streams import dna
+    from fqsqueezer_tpu.ops import tables
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    p = small_params(dna_mode=DnaMode.SE_ORIGINAL,
+                     quality_mode=QualityMode.NONE)
+    p.dna_sb_proto = 0           # legacy u16 counters: clamp is live
+    dcfg, qcfg, mcfg, icfg = base.make_configs(p)
+    mesh = sharded.make_mesh(4, tp=4)
+    maint = sharded.make_sharded_maintenance(dcfg, qcfg, mcfg, icfg, mesh)
+
+    st = dna.dna_state_create(dcfg)
+    # dense SIV (fill 1.0 > 0.5 threshold): half singletons, half 2s
+    n = st.siv.shape[0]
+    siv = jnp.where(jnp.arange(n) % 2 == 0,
+                    jnp.uint32(0x01010101), jnp.uint32(0x02020202))
+    # u16 counter near the wrap point in the s-table
+    s_tc = st.s_tc.at[0, tables.KBUCKET].set(jnp.uint32(0xFFF0))
+    st = st._replace(siv=siv, s_tc=s_tc)
+    sspec = dna.DnaState(siv=P("tp"), s_tc=P("tp"), b_tc=P("tp"),
+                         model=P(), pe=None)
+    st = jax.device_put(st, jax.tree.map(
+        lambda s: NamedSharding(mesh, s), sspec,
+        is_leaf=lambda x: isinstance(x, P)))
+
+    new, fills = maint(st)
+    f = np.asarray(fills)
+    assert f[2] == 4 * n                       # pre-prune nz reported
+    siv_new = np.asarray(new.siv)
+    assert (siv_new[0::2] == 0).all()          # singletons cleared
+    assert (siv_new[1::2] == 0x02020202).all()  # counts >= 2 kept
+    assert np.asarray(new.s_tc)[0, tables.KBUCKET] == 0x8000  # clamped
