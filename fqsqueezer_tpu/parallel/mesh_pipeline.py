@@ -211,10 +211,17 @@ def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
 
 def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
                          out_path2: Optional[str] = None) -> dict:
-    """Decode a mesh archive; requires mesh_dp×mesh_tp devices."""
+    """Decode a mesh archive on mesh_dp×mesh_tp devices; with fewer
+    devices available, falls back to the bit-identical sequential
+    per-shard decode (decompress_file_mesh_seq) — a pod-written archive
+    decodes anywhere, like any reference archive does regardless of its
+    baked-in thread count (application.cpp:787)."""
     reader = archive.ArchiveReader(in_path)
     p = Params.load_params(reader.header_blob, base=p_cli)
     dp, tp = p.mesh_dp, p.mesh_tp
+    if dp * tp > len(jax.devices()):
+        reader.close()
+        return decompress_file_mesh_seq(p_cli, in_path, out_path, out_path2)
     dcfg, qcfg, mcfg, icfg = base.make_configs(p)
     mesh, state, bspec = _mesh_and_specs(p, dcfg, qcfg, mcfg, icfg, dp, tp)
     N = p.n_lanes
@@ -336,6 +343,277 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
             raise ValueError(f"payload checksum mismatch (mesh decode)")
         # mirror the encoder's group-boundary maintenance exactly
         state = _run_maintenance(p, dcfg, maint, state)
+    reader.close()
+
+    n_out = w1.n_reads + (w2.n_reads if w2 is not None else 0)
+    w1.close()
+    if w2 is not None:
+        w2.close()
+    return {"n_reads": n_out}
+
+
+def _make_seq_decode(dcfg, qcfg, mcfg, icfg, R_shard: int, L: int):
+    """Jitted pieces of the sequential (any-device-count) mesh decode:
+    `dec_one` decodes ONE dp shard's streams against the batch-frozen full
+    state (exactly what each mesh device computes in parallel,
+    sharded.make_sharded_decode.step minus the collectives), and `collect`
+    applies the full-batch state evolution once from the concatenated
+    shard outputs (the all_gather analog). Statistics replay is
+    deterministic, so the result is bit-identical to the mesh decode —
+    only the lane grouping is sequential."""
+    from functools import partial
+
+    from ..streams import dna, meta
+    from ..ops import models
+
+    with_pe = dcfg.pe_log2_buckets > 0
+
+    @jax.jit
+    def dec_one(state, m_words, m_states, i_words, i_states, d_words,
+                d_states, q_words, q_states, pe_words, pe_states):
+        lengths, lcp, _, m_x, _ = meta.meta_decode_batch(
+            mcfg, state.meta, R_shard, m_words, m_states)
+        lengths = jnp.minimum(lengths, L).astype(jnp.int32)
+        lcp = lcp if mcfg.with_lcp else None
+        m_ctx, m_syms, _, _ = meta.meta_modeling(mcfg, state.meta, lengths,
+                                                 lcp)
+        if with_pe:
+            codes, _, d_x, _, ex = dna.dna_decode_batch(
+                dcfg, state.dna, lengths, d_words, d_states, L,
+                apply_update=False, lcp=lcp, lcp_stride=mcfg.lcp_stride,
+                pe_words=pe_words, pe_states=pe_states)
+            (eff, ctx, sym, active, pe_x, pe_syms, pe_act, codes3,
+             lengths3) = ex
+            dna_out = (codes3, eff, lengths3, ctx, sym, active, pe_syms,
+                       pe_act)
+        else:
+            codes, _, d_x, _, (eff, ctx, sym, active) = dna.dna_decode_batch(
+                dcfg, state.dna, lengths, d_words, d_states, L,
+                apply_update=False, lcp=lcp, lcp_stride=mcfg.lcp_stride)
+            pe_x = pe_states
+            dna_out = (codes, eff, lengths, ctx, sym, active)
+
+        if qcfg is not None:
+            qsyms, _, q_x, _ = quality.qual_decode_batch(
+                qcfg, state.qual, lengths, q_words, q_states, L)
+            q_ctx, _, _, q_active = quality.qual_modeling(
+                qcfg, state.qual, qsyms, lengths)
+            q_out = (q_ctx, qsyms, q_active)
+        else:
+            qsyms = jnp.zeros((R_shard, L), jnp.int32)
+            q_x, q_out = q_states, None
+
+        if icfg is not None:
+            (i_flag, i_dsym, i_dmag, i_emat, i_elens, _, i_x,
+             _) = ids_mod.id_decode_batch(icfg, state.id, R_shard, i_words,
+                                          i_states)
+            id_batch = (i_flag, i_dsym, i_dmag, i_emat, i_elens)
+            i_ctx, i_syms, _, _, i_active = ids_mod.id_modeling(
+                icfg, state.id, *id_batch)
+            i_out = (i_ctx, i_syms, i_active)
+        else:
+            id_batch = tuple(
+                jnp.asarray(a) for a in ids_mod.zero_id_batch(R_shard))
+            i_x, i_out = i_states, None
+
+        xs = [m_x, d_x] + ([q_x] if qcfg is not None else []) \
+            + ([i_x] if icfg is not None else []) \
+            + ([pe_x] if with_pe else [])
+        return (lengths, codes, qsyms, id_batch, (m_ctx, m_syms), dna_out,
+                q_out, i_out, tuple(xs))
+
+    @jax.jit
+    def collect(state, m_g, dna_g, q_g, i_g, codes_true_g, lengths_true_g):
+        from ..pipeline import CodecState
+
+        m_model = models.model_update(
+            state.meta, m_g[0].reshape(-1), m_g[1].reshape(-1),
+            jnp.ones(m_g[0].size, dtype=bool))
+        if with_pe:
+            codes3, eff, lengths3, ctx, sym, active, pe_syms, pe_act = dna_g
+            d_state = dna.dna_collect_updates(
+                dcfg, state.dna, codes3, eff, lengths3, ctx, sym, active,
+                pe_syms=pe_syms, pe_act=pe_act,
+                codes_true=codes_true_g, lengths_true=lengths_true_g)
+        else:
+            codes, eff, lengths, ctx, sym, active = dna_g
+            d_state = dna.dna_collect_updates(
+                dcfg, state.dna, codes, eff, lengths, ctx, sym, active)
+        q_model = None
+        if q_g is not None:
+            q_model = models.model_update(
+                state.qual, q_g[0].reshape(-1), q_g[1].reshape(-1),
+                q_g[2].reshape(-1))
+        i_model = None
+        if i_g is not None:
+            i_model = models.model_update(
+                state.id, i_g[0].reshape(-1), i_g[1].reshape(-1),
+                i_g[2].reshape(-1))
+        return CodecState(dna=d_state, meta=m_model, qual=q_model,
+                          id=i_model)
+
+    return dec_one, collect
+
+
+def _maintenance_local(dcfg):
+    """Single-chip replay of the mesh group-boundary maintenance
+    (sharded.make_sharded_maintenance): same clamp, same prune rule on the
+    same global fill — bit-identical state evolution."""
+    from .. import pipeline as _b
+    from ..ops import tables
+
+    @jax.jit
+    def step(dna_state):
+        s_tc, b_tc = dna_state.s_tc, dna_state.b_tc
+        if dcfg.canon:
+            s_tc = tables.ktable_clamp(s_tc)
+            b_tc = tables.ktable_clamp(b_tc)
+        nz, cap = tables.siv_fill(dna_state.siv)
+        prune = nz > (4 * dna_state.siv.shape[0]
+                      * _b.SIV_PRUNE_NUM) // _b.SIV_PRUNE_DEN
+        siv = jnp.where(prune, tables.siv_prune(dna_state.siv),
+                        dna_state.siv)
+        return dna_state._replace(siv=siv, s_tc=s_tc, b_tc=b_tc)
+
+    return step
+
+
+def decompress_file_mesh_seq(p_cli: Params, in_path: str, out_path: str,
+                             out_path2: Optional[str] = None) -> dict:
+    """Decode a dp×tp mesh archive on ANY number of devices (down to one):
+    shards decode sequentially against the batch-frozen full state, then
+    the batch's state evolution applies once from the concatenated shard
+    outputs — bit-identical to the mesh decode (the reference decodes any
+    archive on any machine; its thread count is software too,
+    application.cpp:787)."""
+    reader = archive.ArchiveReader(in_path)
+    p = Params.load_params(reader.header_blob, base=p_cli)
+    dp = p.mesh_dp
+    dcfg, qcfg, mcfg, icfg = base.make_configs(p)
+    state = base.state_create(dcfg, qcfg, icfg)
+    N = p.n_lanes
+    with_pe = dcfg.pe_log2_buckets > 0
+    n_base = 2 + (qcfg is not None) + (icfg is not None) + with_pe
+
+    qrev = None
+    if qcfg is not None:
+        _, qrev = quality.qual_maps(qcfg.mode, qcfg.qt)
+
+    dec_cache = {}
+    maint = _maintenance_local(dcfg)
+    id_chain = [None] * dp if icfg is not None else None
+    is_pe = p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
+    if is_pe:
+        w1 = fastq.FastqWriter(out_path)
+        w2 = fastq.FastqWriter(out_path2 or p.out_path2)
+    else:
+        w1, w2 = fastq.FastqWriter(out_path), None
+    while True:
+        rec = reader.read_group(N)
+        if rec is None:
+            break
+        gstates, batches, want_crc = rec
+        got_crc = 0
+        if id_chain is not None:
+            id_chain[:] = [None] * len(id_chain)
+        # per-(shard, stream) lane states, chained across the group
+        cur = [[jnp.asarray(gstates[s * n_base + b]) for b in range(n_base)]
+               for s in range(dp)]
+        align = dp * N * (2 if is_pe else 1)
+        first = base._first_batch(N, p.max_batch_reads, 0, align)
+        for take, L, streams in batches:
+            padded = base.canonical_padded(take, first, p.max_batch_reads,
+                                           align)
+            R_shard = padded // dp
+            key = (R_shard, L)
+            if key not in dec_cache:
+                dec_cache[key] = _make_seq_decode(dcfg, qcfg, mcfg, icfg,
+                                                  R_shard, L)
+            dec_one, collect = dec_cache[key]
+
+            caps = [mcfg.n_per_read * R_shard,
+                    (3 * (R_shard // 2) * max(L, 2) if with_pe
+                     else R_shard * max(L, 2))]
+            if qcfg is not None:
+                caps.append(R_shard * max(L, 2))
+            if icfg is not None:
+                caps.append(R_shard * icfg.w_all + 4 * N)
+            if with_pe:
+                caps.append(2 * R_shard + 4 * N)
+
+            outs = []
+            for s in range(dp):
+                planes = []
+                for b in range(n_base):
+                    words, n_w = streams[s * n_base + b]
+                    w = np.zeros((caps[b],), np.uint32)
+                    w[:n_w] = words
+                    planes.append(jnp.asarray(w))
+                args = [state, planes[0], cur[s][0]]
+                bi = 2 + (qcfg is not None)
+                if icfg is not None:
+                    args += [planes[bi], cur[s][bi]]
+                else:
+                    z = jnp.zeros((0,), jnp.uint32)
+                    args += [z, z]
+                args += [planes[1], cur[s][1]]
+                if qcfg is not None:
+                    args += [planes[2], cur[s][2]]
+                else:
+                    z = jnp.zeros((0,), jnp.uint32)
+                    args += [z, z]
+                if with_pe:
+                    args += [planes[n_base - 1], cur[s][n_base - 1]]
+                else:
+                    z = jnp.zeros((0,), jnp.uint32)
+                    args += [z, z]
+                out = dec_one(*args)
+                outs.append(out)
+                cur[s] = list(out[-1])
+
+            cat = lambda i: jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0),
+                *(o[i] for o in outs))
+            lengths_g = cat(0)
+            codes_g = cat(1)
+            qsyms_g = cat(2)
+            id_batch_g = cat(3)
+            m_g = cat(4)
+            dna_g = cat(5)
+            q_g = cat(6) if qcfg is not None else None
+            i_g = cat(7) if icfg is not None else None
+            state = collect(state, m_g, dna_g, q_g, i_g, codes_g, lengths_g)
+
+            codes_np = np.asarray(codes_g[:take]).astype(np.uint8)
+            lengths_np = np.asarray(lengths_g[:take]).astype(np.int32)
+            poscols = np.arange(codes_np.shape[1])[None, :]
+            codes_np = np.where(poscols < lengths_np[:, None], codes_np,
+                                0).astype(np.uint8)
+            got_crc = base.payload_crc(got_crc, codes_np, lengths_np)
+            qsyms_np = np.asarray(qsyms_g[:take])
+            if qrev is not None:
+                quals_np = qrev[qsyms_np].astype(np.uint8)
+            else:
+                quals_np = np.full(qsyms_np.shape, p.quality_thr, np.uint8)
+            if icfg is not None:
+                id_all = ids_mod.decode_ids_host(
+                    *(np.asarray(a) for a in id_batch_g),
+                    ids_mod.mesh_read_lanes(padded, dp, N), id_chain)
+                ids_np = id_all[:take]
+            else:
+                ids_np = None
+            if is_pe:
+                w1.write_batch(codes_np[0::2], quals_np[0::2],
+                               lengths_np[0::2],
+                               ids=None if ids_np is None else ids_np[0::2])
+                w2.write_batch(codes_np[1::2], quals_np[1::2],
+                               lengths_np[1::2],
+                               ids=None if ids_np is None else ids_np[1::2])
+            else:
+                w1.write_batch(codes_np, quals_np, lengths_np, ids=ids_np)
+        if got_crc != want_crc:
+            raise ValueError("payload checksum mismatch (seq mesh decode)")
+        state = state._replace(dna=maint(state.dna))
     reader.close()
 
     n_out = w1.n_reads + (w2.n_reads if w2 is not None else 0)

@@ -194,3 +194,49 @@ def test_mesh_maintenance_prunes_siv():
     assert (siv_new[0::2] == 0).all()          # singletons cleared
     assert (siv_new[1::2] == 0x02020202).all()  # counts >= 2 kept
     assert np.asarray(new.s_tc)[0, tables.KBUCKET] == 0x8000  # clamped
+
+
+def test_mesh_archive_decodes_sequentially_on_one_device(tmp_path):
+    """A dp x tp archive must decode WITHOUT the writer's mesh (VERDICT r4
+    #5): the sequential per-shard emulation decodes each shard against the
+    batch-frozen full state and applies the batch evolution once — output
+    byte-identical to the mesh decode."""
+    src = str(tmp_path / "in.fastq")
+    make_fastq(src, 700, 72, seed=13)
+    p = small_params(dna_mode=DnaMode.SE_ORIGINAL,
+                     quality_mode=QualityMode.LOSSLESS,
+                     id_mode=IdMode.LOSSLESS)
+    p.n_lanes = 16
+    arc = str(tmp_path / "m.fqst")
+    mesh_pipeline.compress_file_mesh(p, src, arc, dp=4, tp=2)
+
+    dst_mesh = str(tmp_path / "mesh.fastq")
+    dst_seq = str(tmp_path / "seq.fastq")
+    mesh_pipeline.decompress_file_mesh(Params(), arc, dst_mesh)
+    mesh_pipeline.decompress_file_mesh_seq(Params(), arc, dst_seq)
+    src_b = open(src, "rb").read()
+    assert open(dst_mesh, "rb").read() == src_b
+    assert open(dst_seq, "rb").read() == src_b
+
+
+def test_mesh_pe_archive_decodes_sequentially(tmp_path):
+    """PE mesh archives (anchor machinery + pe stream) through the
+    sequential decode path."""
+    from tests.test_pe import make_pe_pair
+
+    src1, src2 = make_pe_pair(tmp_path, n_pairs=300, read_len=64, seed=17)
+    p = small_params(dna_mode=DnaMode.PE_ORIGINAL,
+                     quality_mode=QualityMode.NONE)
+    p.n_lanes = 16
+    arc = str(tmp_path / "m.fqst")
+    mesh_pipeline.compress_pe_mesh(p, src1, src2, arc, dp=2, tp=1)
+
+    o1 = str(tmp_path / "seq_1.fastq")
+    o2 = str(tmp_path / "seq_2.fastq")
+    mesh_pipeline.decompress_file_mesh_seq(Params(), arc, o1, o2)
+
+    def seqs(path):
+        return open(path).read().splitlines()[1::4]
+
+    assert seqs(o1) == seqs(src1)
+    assert seqs(o2) == seqs(src2)
