@@ -216,15 +216,22 @@ class Params:
 
     def auto_tune_lanes(self) -> None:
         """Mode-tuned rANS lane count, called by the product entry points
-        (CLI, bench) after mode flags settle. 2048 lanes halve the decode
-        scan's step count (+18% decode, +7% compress measured) at ~+1.2%
-        archive size from per-lane state blocks and coarser adaptation.
-        Only the SE original-order config has the ratio slack to spend
-        (0.976x vs the reference; sorted sits at 1.002x and PE at 1.08x,
-        where +1.2% would cross/worsen their bars), so only it widens.
-        The count rides the archive header, so decode follows whatever the
-        writer chose; callers that set n_lanes explicitly skip this."""
-        if self.n_lanes == 1024 and self.dna_mode == DnaMode.SE_ORIGINAL:
+        (CLI, bench) after mode flags settle. 2048 lanes cost ~1.2% DNA
+        stream (coarser row-granular adaptation + per-lane state blocks)
+        for ~+15-25% throughput (fewer, wider scan steps). The gate is
+        per-config-measured (round-5 numbers, BENCH_r05 / BASELINE.md):
+        SE original order WITH a quality stream widens — the DNA share of
+        those archives absorbs the cost inside their measured bars
+        (se 0.968x, se_real 1.0079 <= 1.01, qlossless 0.937x at 2048).
+        Quality-less SE-original archives (-qm n) are pure-DNA, so the
+        cost lands fully on the barred ratio (se_ids) — they keep 1024
+        (measured: 2.6659 vs 2.6984 bits/base on the bench corpus).
+        Sorted and PE modes keep 1024 (sorted 0.981x and pe 1.031x have
+        no slack to spend). The count rides the archive header, so decode
+        follows whatever the writer chose; callers that set n_lanes
+        explicitly skip this."""
+        if (self.n_lanes == 1024 and self.dna_mode == DnaMode.SE_ORIGINAL
+                and self.quality_mode != QualityMode.NONE):
             self.n_lanes = 2048
 
     def adjust_kmer_sizes(self) -> None:
