@@ -44,10 +44,13 @@ def make_mesh(n_devices: int, tp: int = 1, devices=None) -> Mesh:
 @dataclasses.dataclass(frozen=True)
 class TpBackend:
     """Table backend over a tp-sharded state: each shard holds a contiguous
-    index/bucket range; finds psum partial answers, updates mask to owners."""
+    index/bucket range; finds psum partial answers, updates mask to owners.
+    n_dp: the dp axis size (the routed update exchange needs it to block
+    local reads by global lanes)."""
 
     axis: str
     n_tp: int
+    n_dp: int = 1
 
     # --- SIV (dense): sharded by context range -----------------------------
     def siv_find(self, siv_local, ctx):
@@ -181,6 +184,94 @@ def state_specs(qual: bool, with_ids: bool = False, with_pe: bool = False):
                       id=P() if with_ids else None)
 
 
+def _in_len_mask(lengths, L: int):
+    """[R, L] in-length position mask (the sb update event validity)."""
+    return jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None]
+
+
+def _route_cap(n_events: int, n_tp: int) -> int:
+    """Static per-row event capacity of the owner-routed exchange: 2x the
+    uniform-hash expectation (Chernoff-negligible overflow on hashed
+    buckets), 512-aligned; never above the unrouted size."""
+    if n_tp <= 1:
+        return n_events
+    want = -(-2 * n_events // n_tp)
+    return min(n_events, -(-want // 512) * 512)
+
+
+def sb_routed_updates(dcfg, be: "TpBackend", s_tc, b_tc, kcodes, active,
+                      dp_axis: str):
+    """Owner-routed s/b-mer update exchange over the mesh (the TPU analog
+    of the reference's deferred-insert matrices *_to_add[src][dst] +
+    owner-thread drain, application.h:56-59, dna.cpp:2393-2472).
+
+    The replicated-update path all_gathers the FULL batch over dp and has
+    every device recompute and apply all dp shards' events masked to its
+    tp bucket range: O(dp*B) wire and O(dp*B) scatter work per device.
+    Here each device computes its OWN shard's events per row block,
+    filters them to its tp range (the batch is replicated over tp, so the
+    cross-tp "all_to_all" is free), compacts them to a fixed cap, and
+    all_gathers ONLY the compacted in-range events over dp: O(dp*B/tp)
+    wire and scatter work. The global row-block replay then applies every
+    shard's events in the same authoritative order as the replicated path
+    (shard-major row blocks), so the resulting tables are BIT-IDENTICAL —
+    the per-call event multisets match and the update protocols are
+    order-independent within a call. The only possible divergence is the
+    deterministic overflow drop past the 2x cap (pathologically skewed
+    bucket distributions); both sides replay it identically, which is why
+    the protocol choice rides the archive header (params.mesh_route_sb).
+
+    kcodes/active: the LOCAL dp shard's [R_shard(, expanded), L] block.
+    Returns (s_tc, b_tc) evolved with the full batch's events."""
+    # Global row rd of the gathered batch holds read rd of every GLOBAL
+    # lane (common.to_row_blocks; lanes own contiguous read ranges). Each
+    # dp shard's reads cover exactly N/dp global lanes across ALL r_pl_g
+    # rows, so blocking the LOCAL shard by N/dp lanes aligns local row rd
+    # with global row rd — the routed replay applies the identical
+    # per-global-row event multisets in the identical order.
+    N = dcfg.n_lanes
+    assert N % be.n_dp == 0, "n_lanes must be divisible by dp"
+    rb = partial(common.to_row_blocks, n_lanes=N // be.n_dp)
+    kc_r, act_r = rb(kcodes), rb(active)      # [r_pl_g, N/dp, L]
+
+    def route(k, log2b):
+        ev = jax.vmap(lambda kc, a: dna.sb_canon_events(dcfg, kc, a, k,
+                                                        log2b))(kc_r, act_r)
+        bkt, tag, valid = ev                       # [r_pl_g, E] each
+        rows, E = bkt.shape
+        cap = _route_cap(E, be.n_tp)
+        local_buckets = s_tc.shape[0] if k == dcfg.smer_len else b_tc.shape[0]
+        my = jax.lax.axis_index(be.axis)
+        own = valid & (bkt >= my * local_buckets) \
+            & (bkt < (my + 1) * local_buckets)
+        pos = jnp.cumsum(own.astype(jnp.int32), axis=1) - 1
+        tgt = jnp.where(own & (pos < cap), pos, cap)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, E), 0)
+        buf_t = jnp.zeros((rows, cap + 1), jnp.uint32).at[ridx, tgt].set(
+            tag, mode="drop")[:, :cap]
+        buf_b = jnp.zeros((rows, cap + 1), jnp.int32).at[ridx, tgt].set(
+            bkt, mode="drop")[:, :cap]
+        # [dp, r_pl_g, cap] -> per-global-row shard-concatenated events
+        g = lambda a: jax.lax.all_gather(a, dp_axis, axis=0).transpose(
+            1, 0, 2).reshape(rows, be.n_dp * cap)
+        return g(buf_b), g(buf_t)
+
+    s_b, s_t = route(dcfg.smer_len, dcfg.smer_log2_buckets)
+    b_b, b_t = route(dcfg.bmer_len, dcfg.bmer_log2_buckets)
+
+    def step(carry, x):
+        s_tc, b_tc = carry
+        sb, st_, bb, bt_ = x
+        s_tc = be.ktable_update(s_tc, sb, st_, st_ != 0,
+                                log2_base=dcfg.smer_log2_buckets)
+        b_tc = be.ktable_update(b_tc, bb, bt_, bt_ != 0,
+                                log2_base=dcfg.bmer_log2_buckets)
+        return (s_tc, b_tc), ()
+
+    (s_tc, b_tc), _ = jax.lax.scan(step, (s_tc, b_tc), (s_b, s_t, b_b, b_t))
+    return s_tc, b_tc
+
+
 def make_sharded_maintenance(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
     """Group-boundary table maintenance on the mesh — the coordinated-
     restruct analog of the reference (application.cpp:894-902) and of the
@@ -291,14 +382,25 @@ def _grids_step(dcfg, qcfg, mcfg, icfg, be, state, codes, kcodes, lengths,
             dcfg, state.dna, g(codes3), g(eff), g(lengths3),
             g(ctx), g(sym), g(active), be,
             pe_syms=g(pe_syms), pe_act=g(pe_act),
-            codes_true=g(codes), lengths_true=g(lengths))
+            codes_true=g(codes), lengths_true=g(lengths),
+            skip_sb=bool(dcfg.route_sb))
+        if dcfg.route_sb:
+            s_tc3, b_tc3 = sb_routed_updates(
+                dcfg, be, state.dna.s_tc, state.dna.b_tc, eff,
+                _in_len_mask(lengths3, eff.shape[1]), "dp")
+            d_state = d_state._replace(s_tc=s_tc3, b_tc=b_tc3)
         pe_grid = (g16(pe_f, dcfg.n_lanes), g16(pe_c2, dcfg.n_lanes))
     elif dcfg.row_global:
         eff, ctx, sym, f, c, active, _, _ = dna.dna_process_batch_rg(
             dcfg, state.dna, codes, kcodes, lengths, be, lcp)
         d_state = dna.dna_collect_updates(
             dcfg, state.dna, g(codes), g(eff), g(lengths),
-            g(ctx), g(sym), g(active), be)
+            g(ctx), g(sym), g(active), be, skip_sb=bool(dcfg.route_sb))
+        if dcfg.route_sb:
+            s_tc, b_tc = sb_routed_updates(
+                dcfg, be, state.dna.s_tc, state.dna.b_tc, eff,
+                _in_len_mask(lengths, eff.shape[1]), "dp")
+            d_state = d_state._replace(s_tc=s_tc, b_tc=b_tc)
     else:
         eff = dna.dna_effective_kcodes(dcfg, state.dna, codes, kcodes,
                                        lengths, be)
@@ -348,7 +450,7 @@ def make_sharded_model(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
     lane states chain — the mesh analog of the single-chip group-chained
     emission (pipeline.flush_group)."""
     n_tp = mesh.shape["tp"]
-    be = TpBackend("tp", n_tp)
+    be = TpBackend("tp", n_tp, mesh.shape["dp"])
 
     def step(state, codes, kcodes, lengths, qsyms, id_batch):
         grids, new_state = _grids_step(dcfg, qcfg, mcfg, icfg, be, state,
@@ -395,7 +497,7 @@ def make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
     full batch. (Single-step form — the file pipeline uses make_sharded_model
     + make_sharded_rans for group-chained emission.)"""
     n_tp = mesh.shape["tp"]
-    be = TpBackend("tp", n_tp)
+    be = TpBackend("tp", n_tp, mesh.shape["dp"])
 
     def step(state, codes, kcodes, lengths, qsyms, id_batch):
         grids, new_state = _grids_step(dcfg, qcfg, mcfg, icfg, be, state,
@@ -435,7 +537,7 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
     from ..pipeline import CodecState
 
     n_tp = mesh.shape["tp"]
-    be = TpBackend("tp", n_tp)
+    be = TpBackend("tp", n_tp, mesh.shape["dp"])
 
     with_pe = dcfg.pe_log2_buckets > 0
 
@@ -467,7 +569,13 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
                 dcfg, state.dna, g(codes3), g(eff), g(lengths3),
                 g(ctx), g(sym), g(active), be,
                 pe_syms=g(pe_syms), pe_act=g(pe_act),
-                codes_true=g(codes), lengths_true=g(lengths))
+                codes_true=g(codes), lengths_true=g(lengths),
+                skip_sb=bool(dcfg.route_sb))
+            if dcfg.route_sb:
+                s_tc, b_tc = sb_routed_updates(
+                    dcfg, be, state.dna.s_tc, state.dna.b_tc, eff,
+                    _in_len_mask(lengths3, eff.shape[1]), "dp")
+                d_state = d_state._replace(s_tc=s_tc, b_tc=b_tc)
         else:
             codes, _, d_x, _, (eff, ctx, sym, active) = dna.dna_decode_batch(
                 dcfg, state.dna, lengths, d_words, d_states, L, be,
@@ -475,7 +583,12 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
             pe_x = pe_states
             d_state = dna.dna_collect_updates(
                 dcfg, state.dna, g(codes), g(eff), g(lengths),
-                g(ctx), g(sym), g(active), be)
+                g(ctx), g(sym), g(active), be, skip_sb=bool(dcfg.route_sb))
+            if dcfg.route_sb:
+                s_tc, b_tc = sb_routed_updates(
+                    dcfg, be, state.dna.s_tc, state.dna.b_tc, eff,
+                    _in_len_mask(lengths, eff.shape[1]), "dp")
+                d_state = d_state._replace(s_tc=s_tc, b_tc=b_tc)
 
         if qcfg is not None:
             qsyms, _, q_x, _ = quality.qual_decode_batch(

@@ -197,6 +197,13 @@ class Params:
     # probabilistic-counter-flavored like the reference's utils.h:256-335).
     # Decode-affecting; legacy archives decode with 0.
     dna_sb_proto: int = 1
+    # owner-routed mesh s/b update exchange (sharded.sb_routed_updates;
+    # reference *_to_add owner-drain analog, application.h:56-59): each
+    # device routes only its tp-range events into the dp gather — O(dp*B/tp)
+    # wire/scatter work instead of O(dp*B). Bit-identical to the replicated
+    # exchange below the 2x route cap; the deterministic overflow drop past
+    # it is why the knob rides the header. Mesh archives only.
+    mesh_route_sb: int = 0
     # PE anchor machinery ON THE MESH (round 4+): archives written before
     # this knob existed store mesh_dp > 1 + dna_mode PE_* + a nonzero
     # pe_log2_buckets but carry NO pe stream (the old writer zeroed the
@@ -279,6 +286,7 @@ class Params:
         "dna_pmer_gate", "dna_siv_cap", "dna_prefix_ramp",
         "dna_local_lite", "dna_canon", "dna_row_global", "dna_pe_pos_ctx",
         "dna_ctx_v", "dna_pe_mesh", "dna_rough", "dna_sb_proto",
+        "mesh_route_sb",
     )
 
     # decode-affecting params whose absence in an archive header means the
@@ -291,7 +299,7 @@ class Params:
                    "dna_prefix_ramp": 0, "dna_local_lite": 0,
                    "dna_canon": 0, "dna_row_global": 0, "dna_pe_pos_ctx": 0,
                    "dna_ctx_v": 1, "dna_pe_mesh": 0, "dna_rough": 0,
-                   "dna_sb_proto": 0}
+                   "dna_sb_proto": 0, "mesh_route_sb": 0}
 
     def store_params(self) -> bytes:
         d = {}

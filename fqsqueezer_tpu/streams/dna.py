@@ -237,6 +237,11 @@ class DnaConfig:
     # tables.k2_update. Decode-affecting (cell layout + duplicate-count
     # semantics), stored in the archive header (params.dna_sb_proto).
     sb_proto: int = 0
+    # owner-routed mesh update exchange (sharded.sb_routed_updates): events
+    # filter+compact to their tp owner range BEFORE the dp gather. Mesh
+    # paths only; bit-identical to the replicated exchange except past the
+    # 2x route cap (deterministic drop, hence in the header).
+    route_sb: int = 0
 
 
 # position-bucket "length" for rowB under pe_pos_ctx: large enough that the
@@ -1146,6 +1151,23 @@ def dna_pe_encode(cfg: DnaConfig, state: DnaState, codes, lengths, lcp=None):
 # shared state evolution
 # ---------------------------------------------------------------------------
 
+def sb_canon_events(cfg: DnaConfig, kcodes, active, k: int, log2b: int):
+    """Flat (bkt, tag, valid) canonical insert events of the width-k table
+    for a [rows, L] block — the event math of _apply_sb_updates' canon
+    branch, shared with the owner-routed mesh exchange (sharded.py)."""
+    c0 = k - 1
+    ctx_lo, ctx_hi = kmers.pack_windows(kcodes, k - 1)
+    ctx_lo = kmers.shift_right(ctx_lo, 1)[:, c0:]
+    ctx_hi = kmers.shift_right(ctx_hi, 1)[:, c0:]
+    fwd_base = kcodes[:, c0:]
+    vk = active[:, c0:]
+    r_lo, r_hi = kmers.pack_windows_rc(kcodes, k - 1)
+    r_lo = kmers.shift_right(r_lo, 1)[:, c0:]
+    r_hi = kmers.shift_right(r_hi, 1)[:, c0:]
+    bkt, tag = _canon_insert(ctx_lo, ctx_hi, r_lo, r_hi, fwd_base, k, log2b)
+    return bkt.reshape(-1), tag.reshape(-1), vk.reshape(-1)
+
+
 def _apply_sb_updates(cfg: DnaConfig, be, s_tc, b_tc, kcodes, active):
     """Apply one block's s/b-mer insert events (both strands; one canonical
     event per occurrence under cfg.canon). kcodes/active: [rows, L]. Shared
@@ -1154,20 +1176,15 @@ def _apply_sb_updates(cfg: DnaConfig, be, s_tc, b_tc, kcodes, active):
 
     def upd(tc, k, log2b):
         c0 = k - 1
+        if cfg.canon:
+            # ONE canonical event per k-mer occurrence (both strands)
+            bkt, tag, vk = sb_canon_events(cfg, kcodes, active, k, log2b)
+            return be.ktable_update(tc, bkt, tag, vk, log2_base=log2b)
         ctx_lo, ctx_hi = kmers.pack_windows(kcodes, k - 1)
         ctx_lo = kmers.shift_right(ctx_lo, 1)[:, c0:]
         ctx_hi = kmers.shift_right(ctx_hi, 1)[:, c0:]
         fwd_base = kcodes[:, c0:]
         vk = active[:, c0:]
-        if cfg.canon:
-            # ONE canonical event per k-mer occurrence (both strands)
-            r_lo, r_hi = kmers.pack_windows_rc(kcodes, k - 1)
-            r_lo = kmers.shift_right(r_lo, 1)[:, c0:]
-            r_hi = kmers.shift_right(r_hi, 1)[:, c0:]
-            bkt, tag = _canon_insert(ctx_lo, ctx_hi, r_lo, r_hi, fwd_base,
-                                     k, log2b)
-            return be.ktable_update(tc, bkt.reshape(-1), tag.reshape(-1),
-                                    vk.reshape(-1), log2_base=log2b)
         rc_lo, rc_hi = kmers.pack_windows_rc(kcodes, k - 1)
         rc_lo, rc_hi = rc_lo[:, c0:], rc_hi[:, c0:]
         rc_base = (3 - kmers.shift_right(kcodes, k - 1))[:, c0:]

@@ -240,3 +240,45 @@ def test_mesh_pe_archive_decodes_sequentially(tmp_path):
 
     assert seqs(o1) == seqs(src1)
     assert seqs(o2) == seqs(src2)
+
+
+def test_mesh_routed_update_exchange_bit_identical(tmp_path):
+    """The owner-routed s/b update exchange (mesh_route_sb=1,
+    sharded.sb_routed_updates) must produce BIT-IDENTICAL tables to the
+    replicated all_gather exchange: same per-row event multisets, same
+    authoritative order — so the archives' group payloads match and both
+    decode byte-exactly (VERDICT r4 #6)."""
+    from fqsqueezer_tpu import archive
+
+    src = str(tmp_path / "in.fastq")
+    make_fastq(src, 700, 72, seed=23)
+    arcs = []
+    for route in (0, 1):
+        p = small_params(dna_mode=DnaMode.SE_ORIGINAL,
+                         quality_mode=QualityMode.LOSSLESS,
+                         id_mode=IdMode.LOSSLESS)
+        p.n_lanes = 16
+        p.mesh_route_sb = route
+        arc = str(tmp_path / f"m{route}.fqst")
+        mesh_pipeline.compress_file_mesh(p, src, arc, dp=2, tp=2)
+        arcs.append(arc)
+
+    def payloads(path):
+        r = archive.ArchiveReader(path)
+        out = []
+        while True:
+            rec = r.read_group(16)
+            if rec is None:
+                break
+            gstates, batches, crc = rec
+            out.append(([np.asarray(s).tobytes() for s in gstates],
+                        [(t, L, [(w.tobytes(), n) for w, n in streams])
+                         for t, L, streams in batches], crc))
+        r.close()
+        return out
+
+    assert payloads(arcs[0]) == payloads(arcs[1])
+
+    dst = str(tmp_path / "routed.fastq")
+    mesh_pipeline.decompress_file_mesh(Params(), arcs[1], dst)
+    assert open(src, "rb").read() == open(dst, "rb").read()
