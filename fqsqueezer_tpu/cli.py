@@ -146,8 +146,17 @@ def main(argv=None) -> int:
                 stats.setdefault("ratio", stats["in_bytes"] / max(
                     1, stats["out_bytes"]))
             else:
+                import os as _os
+
+                total = sum(_os.path.getsize(f) for f in p.file_names[:2]
+                            if _os.path.exists(f))
+                # WGS-scale PE inputs block-stream through the paired
+                # chunk reader (original order; sorted needs the file)
+                stream = (256 << 20 if total > (256 << 20)
+                          and p.dna_mode == DnaMode.PE_ORIGINAL else 0)
                 stats = pipeline.compress_pe(
-                    p, p.file_names[0], p.file_names[1], p.out_path)
+                    p, p.file_names[0], p.file_names[1], p.out_path,
+                    stream_chunk_bytes=stream)
         elif p.mesh_dp > 1 or p.mesh_tp > 1:
             from .parallel import mesh_pipeline
 
@@ -158,16 +167,17 @@ def main(argv=None) -> int:
         else:
             src = (p.file_names if len(p.file_names) > 1
                    else p.file_names[0])
-            # WGS-scale inputs block-stream automatically when eligible
-            # (original order, no id stream): host RSS stays O(chunk)
+            # WGS-scale inputs block-stream automatically when eligible:
+            # host RSS stays O(chunk). Ids stream too (template prescan);
+            # only sorted+ids needs the whole file (bin sort drops ids).
             import os as _os
 
             total = sum(_os.path.getsize(f) for f in p.file_names
                         if _os.path.exists(f))
             stream = (256 << 20 if total > (256 << 20)
-                      and p.dna_mode in (DnaMode.SE_ORIGINAL,
-                                         DnaMode.SE_SORTED)
-                      and p.id_mode == IdMode.NONE else 0)
+                      and (p.dna_mode == DnaMode.SE_ORIGINAL
+                           or (p.dna_mode == DnaMode.SE_SORTED
+                               and p.id_mode == IdMode.NONE)) else 0)
             stats = pipeline.compress_file(p, src, p.out_path,
                                            stream_chunk_bytes=stream)
         if p.verbosity >= 1:

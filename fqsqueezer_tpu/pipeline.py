@@ -496,38 +496,103 @@ def _pad_batch(arr: np.ndarray, padded: int):
     return np.concatenate([arr, np.zeros(pad_shape, arr.dtype)], axis=0)
 
 
+def _fifo_pop(pend: list, take: int) -> fastq.FastqData:
+    """Pop exactly `take` reads off a FIFO of FastqData chunks (splitting the
+    head chunk if needed) as one FastqData."""
+    got, need = [], take
+    while need:
+        d = pend[0]
+        if d.n_reads <= need:
+            got.append(d)
+            pend.pop(0)
+            need -= d.n_reads
+        else:
+            got.append(fastq.FastqData(d.codes[:need], d.quals[:need],
+                                       d.lengths[:need], d.ids[:need]))
+            pend[0] = fastq.FastqData(d.codes[need:], d.quals[need:],
+                                      d.lengths[need:], d.ids[need:])
+            need = 0
+    return got[0] if len(got) == 1 else fastq.concat_fastq(got)
+
+
+def _prescan_ids_stream(paths, p: Params, chunk_bytes: int):
+    """Id template prescan (one cheap pass, host memory O(chunk)): the max
+    id length and numeric-field count the codec fixes in the archive header
+    — what the in-RAM path reads off the whole id list. Chunk-wise maxima
+    equal the global maxima, and instrument mode prescans the TRANSFORMED
+    prefixes like the in-RAM path does."""
+    max_len, nf = 8, 1
+    for chunk in fastq.stream_fastq(paths, chunk_bytes):
+        idl = chunk.ids
+        if p.id_mode == IdMode.INSTRUMENT:
+            idl = ids.instrument_prefix(idl)
+        if idl:
+            max_len = max(max_len, max(len(s) for s in idl))
+            nf = max(nf, ids.count_fields(idl))
+    return max_len, nf
+
+
+def _stream_interleaved_pe(paths, chunk_bytes: int):
+    """Two synchronized streamed cursors over the mate files, yielding
+    INTERLEAVED FastqData chunks (pairs adjacent, always an even read
+    count) — the reference's PE block reader pulls both mates per block the
+    same way (reads_block.h:144-169). Host memory stays O(chunk)."""
+    in1, in2 = paths
+    its = [iter(fastq.stream_fastq(in1, chunk_bytes)),
+           iter(fastq.stream_fastq(in2, chunk_bytes))]
+    bufs = ([], [])
+    counts = [0, 0]
+    done = [False, False]
+
+    def refill(i):
+        while not done[i] and counts[i] == 0:
+            c = next(its[i], None)
+            if c is None:
+                done[i] = True
+            elif c.n_reads:
+                bufs[i].append(c)
+                counts[i] += c.n_reads
+
+    while True:
+        refill(0)
+        refill(1)
+        k = min(counts)
+        if k == 0:
+            if counts[0] != counts[1]:
+                raise ValueError(
+                    f"PE mate counts differ (stream): one mate file ended "
+                    f"with {max(counts)} unpaired reads in the other")
+            break
+        d1 = _fifo_pop(bufs[0], k)
+        d2 = _fifo_pop(bufs[1], k)
+        counts[0] -= k
+        counts[1] -= k
+        yield interleave_pe(d1, d2)
+
+
 def _stream_batches(paths, p: Params, chunk_bytes: int):
     """Doubling-schedule batches from block-streamed input (identical sizes
     to batch_schedule, so archives match the in-RAM path): FASTQ chunks are
     buffered FIFO and cut into batches; host memory stays O(chunk + batch)
     no matter the file size (reference block streaming, reads_block.h:35-76).
-    Yields (FastqData batch, take, padded)."""
-    align = p.n_lanes
+    PE original order streams both mates through the paired chunk reader
+    (pairs never split: every chunk and every batch size is even, a
+    multiple of 2*n_lanes). Yields (FastqData batch, take, padded)."""
+    is_pe = p.dna_mode == DnaMode.PE_ORIGINAL
+    align = 2 * p.n_lanes if is_pe else p.n_lanes
     first = _first_batch(p.n_lanes, p.max_batch_reads, 0, align)
     size = first
     pend: list = []    # FIFO of parsed chunks not yet batched
     n_pend = 0
     source = (fastq.external_sort_stream(paths, chunk_bytes)
               if p.dna_mode == DnaMode.SE_SORTED
+              else _stream_interleaved_pe(paths, chunk_bytes) if is_pe
               else fastq.stream_fastq(paths, chunk_bytes))
 
     def pop(take):
         nonlocal n_pend
-        got, need = [], take
-        while need:
-            d = pend[0]
-            if d.n_reads <= need:
-                got.append(d)
-                pend.pop(0)
-                need -= d.n_reads
-            else:
-                got.append(fastq.FastqData(d.codes[:need], d.quals[:need],
-                                           d.lengths[:need], d.ids[:need]))
-                pend[0] = fastq.FastqData(d.codes[need:], d.quals[need:],
-                                          d.lengths[need:], d.ids[need:])
-                need = 0
         n_pend -= take
-        return got[0] if len(got) == 1 else fastq.concat_fastq(got)
+        return _fifo_pop(pend, take)
 
     for chunk in source:
         if chunk.n_reads == 0:
@@ -556,18 +621,26 @@ def compress_file(p: Params, in_path: str, out_path: str,
     one state block per stream per group instead of per batch.
 
     stream_chunk_bytes > 0 block-streams the input instead of loading it
-    (WGS-scale memory envelope): original order + id-mode NONE only — sorted
-    modes need the whole file until the external bin sort lands, and id
-    templates need a global prescan."""
+    (WGS-scale memory envelope): original order (SE and PE — PE pairs ride
+    the paired chunk reader) and sorted SE (through the external bin sort).
+    Id-bearing inputs stream too: a cheap prescan pass over the headers
+    fixes the id geometry (max length + field count) before modeling, like
+    the reference fixes per-block buffers before coding (reads_block.h:121).
+    Only PE sorted (global sort over both mates) and sorted+ids (the
+    external bin sort drops ids) still need the whole file."""
     in_paths = list(in_path) if isinstance(in_path, (list, tuple)) else [in_path]
     streaming = stream_chunk_bytes > 0 and data is None
     if streaming:
-        if (p.dna_mode not in (DnaMode.SE_ORIGINAL, DnaMode.SE_SORTED)
-                or p.id_mode != IdMode.NONE):
+        if p.dna_mode == DnaMode.PE_SORTED:
             raise ValueError(
-                "streamed compression supports -om o/s with -im n only "
-                "(PE pairing and id templates need the whole input; sorted "
-                "order streams through the external bin sort)")
+                "streamed compression does not support -om s with PE "
+                "(sorting pairs by mate1 needs the whole input)")
+        if p.dna_mode == DnaMode.SE_SORTED and p.id_mode != IdMode.NONE:
+            raise ValueError(
+                "streamed sorted-mode compression requires -im n "
+                "(the external bin sort does not carry ids)")
+        if p.dna_mode == DnaMode.PE_ORIGINAL and len(in_paths) != 2:
+            raise ValueError("streamed PE compression needs two mate files")
     elif data is None:
         data = (fastq.concat_fastq([fastq.read_fastq(f) for f in in_paths])
                 if len(in_paths) > 1 else fastq.read_fastq(in_paths[0]))
@@ -582,8 +655,14 @@ def compress_file(p: Params, in_path: str, out_path: str,
     if p.id_mode == IdMode.INSTRUMENT:
         id_list = ids.instrument_prefix(id_list)
     if p.id_mode != IdMode.NONE:
-        p.max_id_len = max(8, max((len(s) for s in id_list), default=8))
-        p.id_n_fields = ids.count_fields(id_list)
+        if streaming:
+            # id template prescan: one cheap streaming pass over the input
+            # fixes the header-recorded id geometry the codec needs up front
+            p.max_id_len, p.id_n_fields = _prescan_ids_stream(
+                in_paths, p, stream_chunk_bytes)
+        else:
+            p.max_id_len = max(8, max((len(s) for s in id_list), default=8))
+            p.id_n_fields = ids.count_fields(id_list)
         id_chain = [None]   # one file-order chain (ids.read_lanes)
     else:
         id_chain = None
@@ -670,7 +749,13 @@ def compress_file(p: Params, in_path: str, out_path: str,
 
     is_pe = p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
     if streaming:
-        batches = ((d.codes, d.quals, d.lengths, [], take, padded)
+        def _ids_of(d):
+            if icfg is None:
+                return []
+            return (ids.instrument_prefix(d.ids)
+                    if p.id_mode == IdMode.INSTRUMENT else d.ids)
+
+        batches = ((d.codes, d.quals, d.lengths, _ids_of(d), take, padded)
                    for d, take, padded in _stream_batches(
                        in_paths, p, stream_chunk_bytes))
     else:
@@ -938,11 +1023,24 @@ def interleave_pe(d1: fastq.FastqData, d2: fastq.FastqData) -> fastq.FastqData:
 
 def compress_pe(p: Params, in1: str, in2: str, out_path: str,
                 group_mem_bytes: Optional[int] = None,
-                snapshot_prefix: Optional[str] = None) -> dict:
+                snapshot_prefix: Optional[str] = None,
+                stream_chunk_bytes: int = 0) -> dict:
     """Paired-end compression: pairs interleaved; sorted mode orders pairs by
     mate1's sequence (reference sorts mate2 by mate1's permutation,
     io.h:531-550); mate-to-mate statistics flow through the shared k-mer
-    tables across batches."""
+    tables across batches. stream_chunk_bytes > 0 block-streams both mates
+    through the paired chunk reader (PE original order only) — host memory
+    stays O(chunk) like the reference's 16 MiB PE blocks
+    (reads_block.h:144-169)."""
+    if stream_chunk_bytes > 0 and p.dna_mode == DnaMode.PE_ORIGINAL:
+        kw = {}
+        if group_mem_bytes is not None:
+            kw["group_mem_bytes"] = group_mem_bytes
+        stats = compress_file(p, [in1, in2], out_path,
+                              snapshot_prefix=snapshot_prefix,
+                              stream_chunk_bytes=stream_chunk_bytes, **kw)
+        stats["ratio"] = stats["in_bytes"] / max(1, stats["out_bytes"])
+        return stats
     d1 = fastq.read_fastq(in1)
     d2 = fastq.read_fastq(in2)
     if p.dna_mode == DnaMode.PE_SORTED:
