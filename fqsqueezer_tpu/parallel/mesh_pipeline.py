@@ -32,11 +32,16 @@ from . import sharded
 from .. import pipeline as base
 
 
-def _mesh_and_specs(p: Params, dcfg, qcfg, mcfg, icfg, dp: int, tp: int):
+def _mesh_and_specs(p: Params, dcfg, qcfg, mcfg, icfg, dp: int, tp: int,
+                    state0=None):
+    """state0: resume from a snapshot (checkpoint.load_state) instead of a
+    fresh state — snapshots hold the assembled global arrays, so the same
+    device_put re-shards them over the mesh."""
     mesh = sharded.make_mesh(dp * tp, tp=tp)
     sspec = sharded.state_specs(qcfg is not None, icfg is not None,
                                 dcfg.pe_log2_buckets > 0)
-    state = base.state_create(dcfg, qcfg, icfg)
+    state = state0 if state0 is not None else base.state_create(dcfg, qcfg,
+                                                                icfg)
     state = jax.device_put(
         state, jax.tree.map(lambda s: NamedSharding(mesh, s), sspec,
                             is_leaf=lambda x: isinstance(x, P)))
@@ -71,8 +76,13 @@ def _run_maintenance(p: Params, dcfg, maint, state):
 def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
                        tp: int = 1,
                        data: Optional[fastq.FastqData] = None,
-                       group_mem_bytes: int = 512 << 20) -> dict:
-    """Compression over a dp×tp mesh (SE; PE via compress_pe_mesh)."""
+                       group_mem_bytes: int = 512 << 20,
+                       snapshot_prefix: Optional[str] = None) -> dict:
+    """Compression over a dp×tp mesh (SE; PE via compress_pe_mesh).
+    snapshot_prefix: save the assembled (global) codec state at every group
+    boundary — the same .npz format as the single-chip snapshots
+    (checkpoint.py), so a dp-written archive resumes mid-stream on the mesh
+    OR on one chip (decompress_file_mesh{,_seq} start_group/init_state)."""
     is_pe = p.dna_mode in (DnaMode.PE_ORIGINAL, DnaMode.PE_SORTED)
     if is_pe and data is None:
         raise ValueError("mesh PE: use compress_pe_mesh (two inputs)")
@@ -95,9 +105,11 @@ def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
         id_chain = None
 
     p.mesh_dp, p.mesh_tp = dp, tp
-    # mesh id path stays on codec v1 (no per-shard n_valid plumbing yet);
-    # recorded in the header so decode matches
-    p.id_codec_v = 1
+    # id codec v2 on the mesh: each dp shard masks its local padding-row
+    # prefix from the global batch `take` (sharded._shard_n_valid), so the
+    # gathered activity mask matches the single-chip global mask and padding
+    # rows code nothing. The version rides the header; legacy mesh archives
+    # (id_codec_v 1) decode with the masking disabled.
     dcfg, qcfg, mcfg, icfg = base.make_configs(p)
     mesh, state, bspec = _mesh_and_specs(p, dcfg, qcfg, mcfg, icfg, dp, tp)
     enc = sharded.make_sharded_model(dcfg, qcfg, mcfg, icfg, mesh)
@@ -118,9 +130,10 @@ def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
     group_meta = []    # per batch: (take, L)
     group_bytes = 0
     group_crc = 0
+    group_idx = 0
 
     def flush_group():
-        nonlocal group_fc, group_meta, group_bytes, group_crc
+        nonlocal group_fc, group_meta, group_bytes, group_crc, group_idx
         if not group_meta:
             return
         # reverse-chain each stream's batches on device (async dispatch),
@@ -163,6 +176,17 @@ def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
         # identically by the mesh decoder at the same boundary
         nonlocal state
         state = _run_maintenance(p, dcfg, maint, state)
+        if snapshot_prefix is not None:
+            # state AFTER this group = what a decoder needs to START the
+            # next group (mirrors pipeline.flush_group); np.asarray on the
+            # sharded leaves assembles the global arrays, so the snapshot
+            # is mesh-geometry-free and loads on any device count
+            from .. import checkpoint
+
+            checkpoint.save_state(
+                state, checkpoint.snapshot_path(snapshot_prefix,
+                                                group_idx + 1))
+        group_idx += 1
 
     for start, take, padded in base.batch_schedule(
             data.n_reads, N, p.max_batch_reads, align=align):
@@ -181,13 +205,15 @@ def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
                          + [b""] * (padded - take))
             id_np = ids_mod.encode_ids_host(
                 ids_batch, ids_mod.mesh_read_lanes(padded, dp, N),
-                icfg.n_fields, icfg.max_id_len, id_chain)
+                icfg.n_fields, icfg.max_id_len, id_chain,
+                n_valid=take if icfg.codec_v >= 2 else None)
         else:
             id_np = ids_mod.zero_id_batch(padded)
 
         put = lambda a: jax.device_put(jnp.asarray(a), bspec)
         grids, state = enc(state, put(codes), put(kcodes), put(lengths),
-                           put(qs), tuple(put(a) for a in id_np))
+                           put(qs), tuple(put(a) for a in id_np),
+                           jnp.int32(take))
         group_crc = base.payload_crc(group_crc, np.where(
             np.arange(codes.shape[1])[None, :] < lengths[:take, None],
             codes[:take], 0).astype(np.uint8), lengths[:take])
@@ -210,20 +236,29 @@ def compress_file_mesh(p: Params, in_path: str, out_path: str, dp: int,
 
 
 def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
-                         out_path2: Optional[str] = None) -> dict:
+                         out_path2: Optional[str] = None,
+                         start_group: int = 0,
+                         init_state=None) -> dict:
     """Decode a mesh archive on mesh_dp×mesh_tp devices; with fewer
     devices available, falls back to the bit-identical sequential
     per-shard decode (decompress_file_mesh_seq) — a pod-written archive
     decodes anywhere, like any reference archive does regardless of its
-    baked-in thread count (application.cpp:787)."""
+    baked-in thread count (application.cpp:787).
+    start_group/init_state: resume or parallel decode from a mesh group
+    snapshot (compress_file_mesh snapshot_prefix) — groups before
+    start_group are skipped and init_state must be the snapshot taken
+    after group start_group-1."""
     reader = archive.ArchiveReader(in_path)
     p = Params.load_params(reader.header_blob, base=p_cli)
     dp, tp = p.mesh_dp, p.mesh_tp
     if dp * tp > len(jax.devices()):
         reader.close()
-        return decompress_file_mesh_seq(p_cli, in_path, out_path, out_path2)
+        return decompress_file_mesh_seq(p_cli, in_path, out_path, out_path2,
+                                        start_group=start_group,
+                                        init_state=init_state)
     dcfg, qcfg, mcfg, icfg = base.make_configs(p)
-    mesh, state, bspec = _mesh_and_specs(p, dcfg, qcfg, mcfg, icfg, dp, tp)
+    mesh, state, bspec = _mesh_and_specs(p, dcfg, qcfg, mcfg, icfg, dp, tp,
+                                         state0=init_state)
     N = p.n_lanes
     with_pe = dcfg.pe_log2_buckets > 0
     n_base = 2 + (qcfg is not None) + (icfg is not None) + with_pe
@@ -241,10 +276,14 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
         w2 = fastq.FastqWriter(out_path2 or p.out_path2)
     else:
         w1, w2 = fastq.FastqWriter(out_path), None
+    gi = -1
     while True:
         rec = reader.read_group(N)
         if rec is None:
             break
+        gi += 1
+        if gi < start_group:
+            continue
         gstates, batches, want_crc = rec
         got_crc = 0
         if id_chain is not None:
@@ -259,6 +298,45 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
             cur.append(jax.device_put(jnp.asarray(plane), bspec))
         align = dp * N * (2 if is_pe else 1)
         first = base._first_batch(N, p.max_batch_reads, 0, align)
+
+        pending = None  # previous batch's device outputs awaiting host drain
+
+        def drain(pend):
+            """Pull one decoded batch and render it — runs while the mesh is
+            already decoding the NEXT batch (the single-chip one-batch
+            lookahead, pipeline.decompress_file drain, on the mesh path)."""
+            nonlocal got_crc
+            take, padded, lengths, codes, qsyms, id_batch = pend
+            codes_np, lengths_np, qsyms_np, id_batch = jax.device_get(
+                (codes[:take], lengths[:take], qsyms[:take], id_batch))
+            codes_np = codes_np.astype(np.uint8)
+            lengths_np = lengths_np.astype(np.int32)
+            poscols = np.arange(codes_np.shape[1])[None, :]
+            codes_np = np.where(poscols < lengths_np[:, None], codes_np,
+                                0).astype(np.uint8)
+            got_crc = base.payload_crc(got_crc, codes_np, lengths_np)
+            if qrev is not None:
+                quals_np = qrev[qsyms_np].astype(np.uint8)
+            else:
+                quals_np = np.full(qsyms_np.shape, p.quality_thr, np.uint8)
+            if icfg is not None:
+                id_all = ids_mod.decode_ids_host(
+                    *(np.asarray(a) for a in id_batch),
+                    ids_mod.mesh_read_lanes(padded, dp, N), id_chain,
+                    n_valid=take if icfg.codec_v >= 2 else None)
+                ids_np = id_all[:take]
+            else:
+                ids_np = None
+            if is_pe:
+                w1.write_batch(codes_np[0::2], quals_np[0::2],
+                               lengths_np[0::2],
+                               ids=None if ids_np is None else ids_np[0::2])
+                w2.write_batch(codes_np[1::2], quals_np[1::2],
+                               lengths_np[1::2],
+                               ids=None if ids_np is None else ids_np[1::2])
+            else:
+                w1.write_batch(codes_np, quals_np, lengths_np, ids=ids_np)
+
         for take, L, streams in batches:
             padded = base.canonical_padded(take, first, p.max_batch_reads,
                                            align)
@@ -309,36 +387,15 @@ def decompress_file_mesh(p_cli: Params, in_path: str, out_path: str,
             else:
                 zd = jax.device_put(jnp.zeros((dp,), jnp.uint32), bspec)
                 args += [zd, zd]
+            args.append(jnp.int32(take))
             lengths, codes, qsyms, id_batch, state, xs = dec(*args)
             cur = list(xs)
-
-            codes_np = np.asarray(codes[:take]).astype(np.uint8)
-            lengths_np = np.asarray(lengths[:take]).astype(np.int32)
-            poscols = np.arange(codes_np.shape[1])[None, :]
-            codes_np = np.where(poscols < lengths_np[:, None], codes_np,
-                                0).astype(np.uint8)
-            got_crc = base.payload_crc(got_crc, codes_np, lengths_np)
-            qsyms_np = np.asarray(qsyms[:take])
-            if qrev is not None:
-                quals_np = qrev[qsyms_np].astype(np.uint8)
-            else:
-                quals_np = np.full(qsyms_np.shape, p.quality_thr, np.uint8)
-            if icfg is not None:
-                id_all = ids_mod.decode_ids_host(
-                    *(np.asarray(a) for a in id_batch),
-                    ids_mod.mesh_read_lanes(padded, dp, N), id_chain)
-                ids_np = id_all[:take]
-            else:
-                ids_np = None
-            if is_pe:
-                w1.write_batch(codes_np[0::2], quals_np[0::2],
-                               lengths_np[0::2],
-                               ids=None if ids_np is None else ids_np[0::2])
-                w2.write_batch(codes_np[1::2], quals_np[1::2],
-                               lengths_np[1::2],
-                               ids=None if ids_np is None else ids_np[1::2])
-            else:
-                w1.write_batch(codes_np, quals_np, lengths_np, ids=ids_np)
+            # the mesh starts on THIS batch while the host drains the last
+            if pending is not None:
+                drain(pending)
+            pending = (take, padded, lengths, codes, qsyms, id_batch)
+        if pending is not None:
+            drain(pending)
         if got_crc != want_crc:
             raise ValueError(f"payload checksum mismatch (mesh decode)")
         # mirror the encoder's group-boundary maintenance exactly
@@ -370,7 +427,8 @@ def _make_seq_decode(dcfg, qcfg, mcfg, icfg, R_shard: int, L: int):
 
     @jax.jit
     def dec_one(state, m_words, m_states, i_words, i_states, d_words,
-                d_states, q_words, q_states, pe_words, pe_states):
+                d_states, q_words, q_states, pe_words, pe_states,
+                n_valid=None):
         lengths, lcp, _, m_x, _ = meta.meta_decode_batch(
             mcfg, state.meta, R_shard, m_words, m_states)
         lengths = jnp.minimum(lengths, L).astype(jnp.int32)
@@ -406,10 +464,10 @@ def _make_seq_decode(dcfg, qcfg, mcfg, icfg, R_shard: int, L: int):
         if icfg is not None:
             (i_flag, i_dsym, i_dmag, i_emat, i_elens, _, i_x,
              _) = ids_mod.id_decode_batch(icfg, state.id, R_shard, i_words,
-                                          i_states)
+                                          i_states, n_valid=n_valid)
             id_batch = (i_flag, i_dsym, i_dmag, i_emat, i_elens)
             i_ctx, i_syms, _, _, i_active = ids_mod.id_modeling(
-                icfg, state.id, *id_batch)
+                icfg, state.id, *id_batch, n_valid=n_valid)
             i_out = (i_ctx, i_syms, i_active)
         else:
             id_batch = tuple(
@@ -479,7 +537,9 @@ def _maintenance_local(dcfg):
 
 
 def decompress_file_mesh_seq(p_cli: Params, in_path: str, out_path: str,
-                             out_path2: Optional[str] = None) -> dict:
+                             out_path2: Optional[str] = None,
+                             start_group: int = 0,
+                             init_state=None) -> dict:
     """Decode a dp×tp mesh archive on ANY number of devices (down to one):
     shards decode sequentially against the batch-frozen full state, then
     the batch's state evolution applies once from the concatenated shard
@@ -490,7 +550,8 @@ def decompress_file_mesh_seq(p_cli: Params, in_path: str, out_path: str,
     p = Params.load_params(reader.header_blob, base=p_cli)
     dp = p.mesh_dp
     dcfg, qcfg, mcfg, icfg = base.make_configs(p)
-    state = base.state_create(dcfg, qcfg, icfg)
+    state = (init_state if init_state is not None
+             else base.state_create(dcfg, qcfg, icfg))
     N = p.n_lanes
     with_pe = dcfg.pe_log2_buckets > 0
     n_base = 2 + (qcfg is not None) + (icfg is not None) + with_pe
@@ -508,10 +569,14 @@ def decompress_file_mesh_seq(p_cli: Params, in_path: str, out_path: str,
         w2 = fastq.FastqWriter(out_path2 or p.out_path2)
     else:
         w1, w2 = fastq.FastqWriter(out_path), None
+    gi = -1
     while True:
         rec = reader.read_group(N)
         if rec is None:
             break
+        gi += 1
+        if gi < start_group:
+            continue
         gstates, batches, want_crc = rec
         got_crc = 0
         if id_chain is not None:
@@ -567,7 +632,10 @@ def decompress_file_mesh_seq(p_cli: Params, in_path: str, out_path: str,
                 else:
                     z = jnp.zeros((0,), jnp.uint32)
                     args += [z, z]
-                out = dec_one(*args)
+                # per-shard codec-v2 valid-row count (sharded._shard_n_valid
+                # computed on host: shard s owns global rows s*R_shard..)
+                nv_s = max(0, min(take - s * R_shard, R_shard))
+                out = dec_one(*args, n_valid=jnp.int32(nv_s))
                 outs.append(out)
                 cur[s] = list(out[-1])
 
@@ -598,7 +666,8 @@ def decompress_file_mesh_seq(p_cli: Params, in_path: str, out_path: str,
             if icfg is not None:
                 id_all = ids_mod.decode_ids_host(
                     *(np.asarray(a) for a in id_batch_g),
-                    ids_mod.mesh_read_lanes(padded, dp, N), id_chain)
+                    ids_mod.mesh_read_lanes(padded, dp, N), id_chain,
+                    n_valid=take if icfg.codec_v >= 2 else None)
                 ids_np = id_all[:take]
             else:
                 ids_np = None
@@ -624,7 +693,8 @@ def decompress_file_mesh_seq(p_cli: Params, in_path: str, out_path: str,
 
 
 def compress_pe_mesh(p: Params, in1: str, in2: str, out_path: str, dp: int,
-                     tp: int = 1) -> dict:
+                     tp: int = 1,
+                     snapshot_prefix: Optional[str] = None) -> dict:
     """Paired-end over a mesh: interleave pairs then run the mesh pipeline."""
     d1 = fastq.read_fastq(in1)
     d2 = fastq.read_fastq(in2)
@@ -635,7 +705,8 @@ def compress_pe_mesh(p: Params, in1: str, in2: str, out_path: str, dp: int,
         d2 = fastq.FastqData(d2.codes[order], d2.quals[order],
                              d2.lengths[order], [d2.ids[i] for i in order])
     data = base.interleave_pe(d1, d2)
-    stats = compress_file_mesh(p, in1, out_path, dp, tp, data=data)
+    stats = compress_file_mesh(p, in1, out_path, dp, tp, data=data,
+                               snapshot_prefix=snapshot_prefix)
     import os
 
     stats["in_bytes"] = os.path.getsize(in1) + os.path.getsize(in2)

@@ -325,8 +325,17 @@ def make_sharded_maintenance(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
     return jax.jit(fn)
 
 
+def _shard_n_valid(take, R_shard: int):
+    """Per-dp-shard valid-row count from the global batch `take` (codec-v2
+    padding mask): reads are dp-sharded contiguously, so shard s owns global
+    rows [s*R_shard, (s+1)*R_shard) and its local valid prefix is
+    clip(take - s*R_shard, 0, R_shard)."""
+    my = jax.lax.axis_index("dp")
+    return jnp.clip(take - my * R_shard, 0, R_shard).astype(jnp.int32)
+
+
 def _grids_step(dcfg, qcfg, mcfg, icfg, be, state, codes, kcodes, lengths,
-                qsyms, id_batch):
+                qsyms, id_batch, n_valid=None):
     """Per-shard modeling + full-batch state evolution (collectives over dp).
 
     The shared core of the sharded encode/model steps: models the dp-local
@@ -424,10 +433,11 @@ def _grids_step(dcfg, qcfg, mcfg, icfg, be, state, codes, kcodes, lengths,
     else:
         q_model = None
 
-    # IDS
+    # IDS (n_valid: per-shard valid-row count — codec v2 pads code nothing;
+    # the gathered active mask reproduces the single-chip global mask)
     if icfg is not None:
         i_ctx, i_syms, i_f, i_c, i_active = ids.id_modeling(
-            icfg, state.id, *id_batch)
+            icfg, state.id, *id_batch, n_valid=n_valid)
         i_model = models.model_update(
             state.id, g(i_ctx).reshape(-1), g(i_syms).reshape(-1),
             g(i_active).reshape(-1))
@@ -452,10 +462,10 @@ def make_sharded_model(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
     n_tp = mesh.shape["tp"]
     be = TpBackend("tp", n_tp, mesh.shape["dp"])
 
-    def step(state, codes, kcodes, lengths, qsyms, id_batch):
-        grids, new_state = _grids_step(dcfg, qcfg, mcfg, icfg, be, state,
-                                       codes, kcodes, lengths, qsyms,
-                                       id_batch)
+    def step(state, codes, kcodes, lengths, qsyms, id_batch, take):
+        grids, new_state = _grids_step(
+            dcfg, qcfg, mcfg, icfg, be, state, codes, kcodes, lengths,
+            qsyms, id_batch, n_valid=_shard_n_valid(take, codes.shape[0]))
         return tuple(grids), new_state
 
     sspec = state_specs(qcfg is not None, icfg is not None,
@@ -466,7 +476,7 @@ def make_sharded_model(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
     gspec = (P(None, "dp"), P(None, "dp"))  # [T, dp*N] lane grids
     fn = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(sspec, batch, batch, batch, batch, batch),
+        in_specs=(sspec, batch, batch, batch, batch, batch, P()),
         out_specs=((gspec,) * n_streams, sspec),
         check_vma=False)
     return jax.jit(fn)
@@ -499,10 +509,10 @@ def make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
     n_tp = mesh.shape["tp"]
     be = TpBackend("tp", n_tp, mesh.shape["dp"])
 
-    def step(state, codes, kcodes, lengths, qsyms, id_batch):
-        grids, new_state = _grids_step(dcfg, qcfg, mcfg, icfg, be, state,
-                                       codes, kcodes, lengths, qsyms,
-                                       id_batch)
+    def step(state, codes, kcodes, lengths, qsyms, id_batch, take):
+        grids, new_state = _grids_step(
+            dcfg, qcfg, mcfg, icfg, be, state, codes, kcodes, lengths,
+            qsyms, id_batch, n_valid=_shard_n_valid(take, codes.shape[0]))
         coded = []
         for f, c in grids:
             words, n, st = rans.rans_encode(
@@ -523,7 +533,7 @@ def make_sharded_encode(dcfg, qcfg, mcfg, icfg, mesh: Mesh):
     out_stream = (P("dp"), P("dp"), P("dp"))
     fn = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(sspec, batch, batch, batch, batch, batch),
+        in_specs=(sspec, batch, batch, batch, batch, batch, P()),
         out_specs=(out_stream, out_stream, out_stream, out_stream, sspec),
         check_vma=False)
     return jax.jit(fn)
@@ -542,8 +552,10 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
     with_pe = dcfg.pe_log2_buckets > 0
 
     def step(state: CodecState, m_words, m_states, i_words, i_states,
-             d_words, d_states, q_words, q_states, pe_words, pe_states):
+             d_words, d_states, q_words, q_states, pe_words, pe_states,
+             take):
         g = partial(jax.lax.all_gather, axis_name="dp", axis=0, tiled=True)
+        n_valid = _shard_n_valid(take, R_shard)
 
         lengths, lcp, _, m_x, _ = meta.meta_decode_batch(
             mcfg, state.meta, R_shard, m_words, m_states)
@@ -605,10 +617,10 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
         if icfg is not None:
             (i_flag, i_dsym, i_dmag, i_emat, i_elens, _, i_x,
              _) = ids.id_decode_batch(icfg, state.id, R_shard, i_words,
-                                      i_states)
+                                      i_states, n_valid=n_valid)
             id_batch = (i_flag, i_dsym, i_dmag, i_emat, i_elens)
             i_ctx, i_syms, _, _, i_active = ids.id_modeling(
-                icfg, state.id, *id_batch)
+                icfg, state.id, *id_batch, n_valid=n_valid)
             i_model = models.model_update(
                 state.id, g(i_ctx).reshape(-1), g(i_syms).reshape(-1),
                 g(i_active).reshape(-1))
@@ -632,7 +644,7 @@ def make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh: Mesh, R_shard: int,
     n_streams = 2 + (qcfg is not None) + (icfg is not None) + with_pe
     fn = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(sspec, w, w, w, w, w, w, w, w, w, w),
+        in_specs=(sspec, w, w, w, w, w, w, w, w, w, w, P()),
         out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), sspec,
                    (P("dp"),) * n_streams),
         check_vma=False)

@@ -197,6 +197,17 @@ class Params:
     # probabilistic-counter-flavored like the reference's utils.h:256-335).
     # Decode-affecting; legacy archives decode with 0.
     dna_sb_proto: int = 1
+    # coarse letters-branch position bucket (streams/dna.py
+    # DnaConfig.let_pb2): letters contexts keep pb>>2 (4 classes) instead
+    # of the 16-bucket pb — fewer contexts mature faster. Offline Laplace
+    # pricing said -11.5 KB std / -9.8 KB realistic (tools/study_letters.py)
+    # but the on-codec win is only -688 B on the standard DNA-only corpus:
+    # the two-level mix (dna_mix_w) already absorbs most young-context
+    # cost. Kept on (small, free, one-directional); the same study
+    # REJECTED deeper letters histories outright (order-6/7/9 all price
+    # worse — context thinning dominates). Decode-affecting; legacy
+    # archives decode with 0.
+    dna_let_pb2: int = 1
     # owner-routed mesh s/b update exchange (sharded.sb_routed_updates;
     # reference *_to_add owner-drain analog, application.h:56-59): each
     # device routes only its tp-range events into the dp gather — O(dp*B/tp)
@@ -286,7 +297,7 @@ class Params:
         "dna_pmer_gate", "dna_siv_cap", "dna_prefix_ramp",
         "dna_local_lite", "dna_canon", "dna_row_global", "dna_pe_pos_ctx",
         "dna_ctx_v", "dna_pe_mesh", "dna_rough", "dna_sb_proto",
-        "mesh_route_sb",
+        "mesh_route_sb", "dna_let_pb2",
     )
 
     # decode-affecting params whose absence in an archive header means the
@@ -299,7 +310,7 @@ class Params:
                    "dna_prefix_ramp": 0, "dna_local_lite": 0,
                    "dna_canon": 0, "dna_row_global": 0, "dna_pe_pos_ctx": 0,
                    "dna_ctx_v": 1, "dna_pe_mesh": 0, "dna_rough": 0,
-                   "dna_sb_proto": 0, "mesh_route_sb": 0}
+                   "dna_sb_proto": 0, "mesh_route_sb": 0, "dna_let_pb2": 0}
 
     def store_params(self) -> bytes:
         d = {}

@@ -83,7 +83,8 @@ def make_configs(p: Params):
                     and p.dna_ctx_v >= 2) else 0,
         sb_proto=p.dna_sb_proto if p.dna_canon > 0 else 0,
         route_sb=1 if (p.mesh_route_sb > 0 and p.mesh_dp * p.mesh_tp > 1
-                       and row_global and p.dna_canon > 0) else 0)
+                       and row_global and p.dna_canon > 0) else 0,
+        let_pb2=p.dna_let_pb2)
     qmode = p.quality_mode.value
     qcfg = None
     if p.quality_mode != QualityMode.NONE:

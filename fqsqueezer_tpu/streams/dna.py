@@ -242,6 +242,16 @@ class DnaConfig:
     # paths only; bit-identical to the replicated exchange except past the
     # 2x route cap (deterministic drop, hence in the header).
     route_sb: int = 0
+    # coarse letters-branch position bucket (round 5): the letters contexts
+    # keep only pb>>2 (4 position classes) instead of the 16-bucket pb —
+    # fewer contexts mature faster where the signal is the letter history,
+    # not the exact position. Offline pricing (tools/study_letters.py,
+    # sequential Laplace on the real letters-branch stream): -11.5 KB on
+    # the standard corpus; LONGER histories all priced WORSE (order-6
+    # +33 KB, order-9 +150 KB — context thinning dominates), so the
+    # reference's order-9 letters depth (code_ctx.cpp:465-484) is NOT the
+    # right trade here. Decode-affecting; legacy archives decode with 0.
+    let_pb2: int = 0
 
 
 # position-bucket "length" for rowB under pe_pos_ctx: large enough that the
@@ -927,13 +937,20 @@ def _ctx_sym_from_counts(cfg, counts, level, codes_blk, code_active_blk,
     return ctx_all, sym_enc
 
 
-def _letters_plane(codes, pos, pb):
+def _letters_plane(cfg, codes, pos, pb):
     lh = jnp.zeros_like(codes)
     for d in (5, 4, 3, 2, 1):
         sym_d = jnp.where(pos - d >= 0, kmers.shift_right(codes, d),
                           LET_SENTINEL)
         lh = (lh << 3) | sym_d
-    return lh | (pb << 15)
+    return lh | (_let_pb(cfg, pb) << 15)
+
+
+def _let_pb(cfg, pb):
+    """Letters-branch position bucket: coarse 4-class under cfg.let_pb2
+    (same bit layout, high 2 bits zero — the coarse-parent extraction at
+    _coarse_ctx is unchanged)."""
+    return (pb >> 2) if cfg.let_pb2 else pb
 
 
 def _pos_buckets(cfg, pos, lens, lcp, pos_map):
@@ -976,7 +993,7 @@ def dna_modeling(cfg: DnaConfig, state: DnaState, codes, kcodes, lengths,
         # PE anchor span: preset from the candidate value, never coded
         code_active = code_active & ~anchor_mask
     pb = _pos_buckets(cfg, pos, lens, lcp, pos_map)
-    let_ctx = _letters_plane(codes, pos, pb)
+    let_ctx = _letters_plane(cfg, codes, pos, pb)
 
     parts, _ = _window_parts(cfg, state, kcodes, lengths, be)
 
@@ -1050,7 +1067,7 @@ def dna_process_batch_rg(cfg: DnaConfig, state: DnaState, codes, kcodes,
     if anchor_mask is not None:
         code_active = code_active & ~anchor_mask
     pb = _pos_buckets(cfg, pos, lens, lcp, pos_map)
-    let_ctx = _letters_plane(codes, pos, pb)
+    let_ctx = _letters_plane(cfg, codes, pos, pb)
 
     N = cfg.n_lanes
     rb = partial(common.to_row_blocks, n_lanes=N)
@@ -1573,7 +1590,7 @@ def dna_decode_batch(cfg: DnaConfig, state: DnaState, lengths, words, init_state
                                      rough=cfg.rough > 0)
             else:
                 code_ctx = _code_ctx(level, counts, pb, nz)
-            let_ctx = (lh & LH_MASK) | (pb << 15)
+            let_ctx = (lh & LH_MASK) | (_let_pb(cfg, pb) << 15)
             ctx_all = jnp.where(use_code, code_ctx,
                                 (1 << _ctx_bits(cfg)) + let_ctx)
 

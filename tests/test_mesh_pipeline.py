@@ -282,3 +282,73 @@ def test_mesh_routed_update_exchange_bit_identical(tmp_path):
     dst = str(tmp_path / "routed.fastq")
     mesh_pipeline.decompress_file_mesh(Params(), arcs[1], dst)
     assert open(src, "rb").read() == open(dst, "rb").read()
+
+
+def test_mesh_snapshot_resume(tmp_path):
+    """Mesh group snapshots (VERDICT r4 #10): compress dp=2 with a tiny
+    group budget, snapshot at every boundary, then resume decode from
+    group 1 — on the mesh AND via the sequential any-device path — and
+    get the identical byte tail."""
+    import glob
+
+    from fqsqueezer_tpu import checkpoint
+
+    src = str(tmp_path / "in.fastq")
+    make_fastq(src, 700, 72, seed=29)
+    p = small_params(dna_mode=DnaMode.SE_ORIGINAL,
+                     quality_mode=QualityMode.LOSSLESS,
+                     id_mode=IdMode.LOSSLESS)
+    p.n_lanes = 16
+    arc = str(tmp_path / "m.fqst")
+    snap = str(tmp_path / "snap")
+    mesh_pipeline.compress_file_mesh(p, src, arc, dp=2, tp=1,
+                                     group_mem_bytes=64 << 10,
+                                     snapshot_prefix=snap)
+    snaps = sorted(glob.glob(snap + ".g*.npz"))
+    assert len(snaps) >= 2, "expected multiple groups"
+
+    full = str(tmp_path / "full.fastq")
+    mesh_pipeline.decompress_file_mesh(Params(), arc, full)
+    from tests.test_pipeline import reads_of
+
+    all_reads = reads_of(full)
+    assert reads_of(src) == all_reads
+
+    state = checkpoint.load_state(checkpoint.snapshot_path(snap, 1))
+    part = str(tmp_path / "part.fastq")
+    mesh_pipeline.decompress_file_mesh(Params(), arc, part, start_group=1,
+                                       init_state=state)
+    tail = reads_of(part)
+    assert 0 < len(tail) < len(all_reads)
+    assert all_reads[len(all_reads) - len(tail):] == tail
+
+    # the sequential (any-device-count) decoder resumes from the SAME
+    # snapshot — mesh snapshots are assembled global state
+    state2 = checkpoint.load_state(checkpoint.snapshot_path(snap, 1))
+    part2 = str(tmp_path / "part_seq.fastq")
+    mesh_pipeline.decompress_file_mesh_seq(Params(), arc, part2,
+                                           start_group=1, init_state=state2)
+    assert reads_of(part2) == tail
+
+
+def test_mesh_id_codec_v2_in_header(tmp_path):
+    """Mesh archives carry id codec v2 (VERDICT r4 #9): per-shard n_valid
+    masking means padding rows code nothing, and the header records v2 so
+    decode follows."""
+    from fqsqueezer_tpu import archive
+
+    src = str(tmp_path / "in.fastq")
+    make_fastq(src, 700, 72, seed=31)
+    p = small_params(dna_mode=DnaMode.SE_ORIGINAL,
+                     quality_mode=QualityMode.NONE,
+                     id_mode=IdMode.LOSSLESS)
+    p.n_lanes = 16
+    arc = str(tmp_path / "m.fqst")
+    mesh_pipeline.compress_file_mesh(p, src, arc, dp=4, tp=1)
+    r = archive.ArchiveReader(arc)
+    hdr = Params.load_params(r.header_blob)
+    r.close()
+    assert hdr.id_codec_v == 2
+    dst = str(tmp_path / "m.fastq")
+    mesh_pipeline.decompress_file_mesh(Params(), arc, dst)
+    assert open(src, "rb").read() == open(dst, "rb").read()

@@ -85,7 +85,7 @@ def test_sharded_matches_local_modeling():
     put = lambda a: jax.device_put(jnp.asarray(a), bspec)
     m_s, i_s, d_s, q_s, new_s = enc(
         state_s, put(codes), put(codes), put(lengths), put(qsyms),
-        tuple(put(a) for a in id_np))
+        tuple(put(a) for a in id_np), jnp.int32(R))
 
     # identical global model state evolution (tables are laid out differently
     # across shards, but the replicated context model must match exactly)
@@ -136,7 +136,7 @@ def test_multichip_two_batch_chain():
     st = state
     for b in (b0, b1):
         m, i, d, q, st = enc(st, *[put(a) for a in b[:4]],
-                             tuple(put(a) for a in b[4]))
+                             tuple(put(a) for a in b[4]), jnp.int32(R))
         outs.append((m, i, d, q))
 
     dec = sharded.make_sharded_decode(dcfg, qcfg, mcfg, icfg, mesh,
@@ -146,7 +146,8 @@ def test_multichip_two_batch_chain():
         zpe = put(np.zeros((dp,), np.uint32))   # no pe stream (SE)
         lengths, codes, qsyms, id_batch, st, _ = dec(
             st, put(m[0]), put(m[2]), put(i[0]), put(i[2]),
-            put(d[0]), put(d[2]), put(q[0]), put(q[2]), zpe, zpe)
+            put(d[0]), put(d[2]), put(q[0]), put(q[2]), zpe, zpe,
+            jnp.int32(R))
         np.testing.assert_array_equal(np.asarray(codes), b[0])
         np.testing.assert_array_equal(np.asarray(lengths), b[2])
         np.testing.assert_array_equal(np.asarray(qsyms), b[3])

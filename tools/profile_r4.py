@@ -294,7 +294,7 @@ def main():
     counts = jnp.ones((R, L, 4), jnp.int32)
     level = jnp.full((R, L), 2, jnp.int32)
     pb = dna._pos_bucket(pos, lengths[:, None])
-    let_ctx = dna._letters_plane(codes, pos, pb)
+    let_ctx = dna._letters_plane(dcfg, codes, pos, pb)
 
     def f_rank(s, counts, level, codes, let_ctx):
         ctx2, sym2 = dna._ctx_sym_from_counts(

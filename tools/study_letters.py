@@ -91,9 +91,19 @@ def hist_letters(codes_np, pos, n_back):
 
 
 def main():
-    if not os.path.exists(CORPUS):
-        write_fastq_corpus(CORPUS, 100_000, 100, 4_600_000, seed=42)
-    data = fastq.read_fastq(CORPUS)
+    corpus = CORPUS
+    if "--real" in sys.argv:
+        # the repeat-bearing se_real corpus (letters may carry structure
+        # a random genome cannot)
+        from fqsqueezer_tpu.utils.corpus import write_fastq_corpus_realistic
+
+        corpus = "/tmp/fqtz_bench_real.fastq"
+        if not os.path.exists(corpus):
+            write_fastq_corpus_realistic(corpus, 100_000, 100, 4_600_000,
+                                         seed=42)
+    elif not os.path.exists(corpus):
+        write_fastq_corpus(corpus, 100_000, 100, 4_600_000, seed=42)
+    data = fastq.read_fastq(corpus)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else data.n_reads
 
     p = Params()
